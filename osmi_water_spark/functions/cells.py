@@ -1,0 +1,211 @@
+"""Grid-cell spatial index + slippy (z/x/y) raster tile math, all as native
+Spark column expressions (JVM-side, codegen-friendly — no UDFs).
+
+This is the engine's replacement for the reference's GEOS ``STRtree``
+envelope index (/root/reference/src/areahandler.hpp:57-59,
+/root/reference/src/falsepositives.hpp:130): polygons are covered by the
+grid cells of their bounding box, points map to one cell per resolution,
+and the spatial join becomes a plain equi-join on cell id — the same plan
+shape an H3/S2 polyfill would give (neither library is available in this
+environment; the grid keeps identical semantics: cell-join = envelope
+pre-filter, exact refine = prepared-polygon contains).
+
+Cell id packing (64-bit long):  (res << 58) | (iy << 29) | ix
+with a 2^res x 2^res grid over lon [-180,180] x lat [-90,90].
+Resolution <= 20 (cell ~34 m at the equator), ix/iy < 2^29.
+
+Raster tiles use the standard web-mercator z/x/y scheme; ids share the same
+packing. ``cell_to_tile`` / ``tile_to_cells`` give the raster<->vector
+assignment demanded by the graft (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_BITS_SHIFT = 58
+IY_SHIFT = 29
+DEFAULT_RES = 7  # ~312 km cells; fixtures are small worlds
+MAX_COVER_CELLS = 64
+
+
+def _clamp(c: Column, lo: Column, hi: Column) -> Column:
+    return F.greatest(lo, F.least(hi, c))
+
+
+def _encode(res: Column, ix: Column, iy: Column) -> Column:
+    return (
+        F.shiftleft(res.cast("long"), RES_BITS_SHIFT)
+        + F.shiftleft(iy.cast("long"), IY_SHIFT)
+        + ix.cast("long")
+    )
+
+
+def cell_res(cell: Column) -> Column:
+    return F.shiftright(cell, RES_BITS_SHIFT).cast("int")
+
+
+def cell_ix(cell: Column) -> Column:
+    return (cell % (1 << IY_SHIFT)).cast("long")
+
+
+def cell_iy(cell: Column) -> Column:
+    return (F.shiftright(cell, IY_SHIFT) % (1 << IY_SHIFT)).cast("long")
+
+
+def _ix_of(lon: Column, res: int) -> Column:
+    n = F.lit(float(1 << res))
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    return _clamp(raw, F.lit(0), F.lit((1 << res) - 1))
+
+
+def _iy_of(lat: Column, res: int) -> Column:
+    n = F.lit(float(1 << res))
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
+    return _clamp(raw, F.lit(0), F.lit((1 << res) - 1))
+
+
+def cell_of(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
+    """Point -> grid cell id at a fixed resolution."""
+    return _encode(F.lit(res), _ix_of(lon, res), _iy_of(lat, res))
+
+
+def cell_of_multi(lon: Column, lat: Column, resolutions: list[int]) -> Column:
+    """Point -> array of cell ids, one per resolution (for joining against a
+    multi-resolution polygon cover — bounded fan-out: len(resolutions) rows)."""
+    return F.array(*[cell_of(lon, lat, r) for r in resolutions])
+
+
+def bbox_cover_cells(
+    minx: Column, miny: Column, maxx: Column, maxy: Column, res: int
+) -> Column:
+    """All cells at ``res`` intersecting the bbox (envelope cover).
+
+    Built from sequence+transform+flatten so it stays inside codegen.
+    """
+    ix0, ix1 = _ix_of(minx, res), _ix_of(maxx, res)
+    iy0, iy1 = _iy_of(miny, res), _iy_of(maxy, res)
+    res_l = F.lit(res)
+    return F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: _encode(res_l, ix, iy)),
+        )
+    )
+
+
+def bbox_cover_count(minx: Column, miny: Column, maxx: Column, maxy: Column, res: int) -> Column:
+    ix0, ix1 = _ix_of(minx, res), _ix_of(maxx, res)
+    iy0, iy1 = _iy_of(miny, res), _iy_of(maxy, res)
+    return (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+
+
+def adaptive_cover_res(
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    res_min: int = 3,
+    res_max: int = DEFAULT_RES,
+    max_cells: int = MAX_COVER_CELLS,
+) -> Column:
+    """Finest resolution in [res_min, res_max] whose bbox cover stays within
+    ``max_cells`` — bounds the explode fan-out per polygon regardless of
+    polygon size (big lakes coarsen instead of exploding)."""
+    expr = F.lit(res_min)
+    for r in range(res_min + 1, res_max + 1):
+        expr = F.when(bbox_cover_count(minx, miny, maxx, maxy, r) <= max_cells, F.lit(r)).otherwise(
+            expr
+        )
+    return expr
+
+
+def adaptive_cover_cells(
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    res_min: int = 3,
+    res_max: int = DEFAULT_RES,
+    max_cells: int = MAX_COVER_CELLS,
+) -> Column:
+    """Bbox cover at the adaptive resolution (array<long>)."""
+    res = adaptive_cover_res(minx, miny, maxx, maxy, res_min, res_max, max_cells)
+    out = bbox_cover_cells(minx, miny, maxx, maxy, res_min)
+    for r in range(res_min + 1, res_max + 1):
+        out = F.when(res == r, bbox_cover_cells(minx, miny, maxx, maxy, r)).otherwise(out)
+    return out
+
+
+def k_ring(cell: Column, k: int = 1) -> Column:
+    """Cells within Chebyshev distance k of ``cell`` at the same resolution
+    (the kNN candidate ring, J6). No antimeridian wrap (documented limit)."""
+    res, ix, iy = cell_res(cell), cell_ix(cell), cell_iy(cell)
+    # shiftleft needs a literal bit count; 2^res via pow (exact for res<=20)
+    hi = F.pow(F.lit(2.0), res.cast("double")).cast("long") - 1
+    return F.flatten(
+        F.transform(
+            F.sequence(_clamp(iy - k, F.lit(0), hi), _clamp(iy + k, F.lit(0), hi)),
+            lambda y: F.transform(
+                F.sequence(_clamp(ix - k, F.lit(0), hi), _clamp(ix + k, F.lit(0), hi)),
+                lambda x: _encode(res, x, y),
+            ),
+        )
+    )
+
+
+# ---------------- raster (slippy z/x/y) tiles ----------------
+
+
+def tile_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """Web-mercator tile coordinates. Formula written identically to the
+    DuckDB oracle (ln(tan + 1/cos)) so both engines run the same IEEE ops."""
+    n = F.lit(float(1 << z))
+    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    lat_rad = lat * F.lit(math.pi) / F.lit(180.0)
+    ty = F.floor(
+        (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * n
+    )
+    lim = F.lit((1 << z) - 1)
+    return _clamp(tx, F.lit(0), lim), _clamp(ty, F.lit(0), lim)
+
+
+def tile_id(lon: Column, lat: Column, z: int) -> Column:
+    tx, ty = tile_xy(lon, lat, z)
+    return _encode(F.lit(z), tx, ty.cast("long"))
+
+
+def tile_bounds(z: int, tx: Column, ty: Column) -> tuple[Column, Column, Column, Column]:
+    """Tile -> lon/lat bbox (inverse mercator), for raster->vector assignment."""
+    n = F.lit(float(1 << z))
+    minx = tx / n * F.lit(360.0) - F.lit(180.0)
+    maxx = (tx + 1) / n * F.lit(360.0) - F.lit(180.0)
+
+    def lat_of(yy: Column) -> Column:
+        t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yy / n)
+        return F.degrees(F.atan(F.sinh(t)))
+
+    maxy = lat_of(ty.cast("double"))
+    miny = lat_of((ty + 1).cast("double"))
+    return minx, miny, maxx, maxy
+
+
+def tile_to_cells(z: int, tx: Column, ty: Column, res: int) -> Column:
+    """Raster->vector: grid cells covering a z/x/y raster tile's bbox."""
+    minx, miny, maxx, maxy = tile_bounds(z, tx, ty)
+    # shrink by epsilon so a tile edge exactly on a cell boundary doesn't
+    # pull in the neighbouring cell row/column
+    eps = F.lit(1e-9)
+    return bbox_cover_cells(minx + eps, miny + eps, maxx - eps, maxy - eps, res)
+
+
+def tile_quadkey(tile: Column) -> Column:
+    """Human-readable z/x/y string for a packed tile id."""
+    return F.concat_ws(
+        "/", cell_res(tile).cast("string"), cell_ix(tile).cast("string"), cell_iy(tile).cast("string")
+    )

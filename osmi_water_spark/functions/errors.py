@@ -1,0 +1,77 @@
+"""E1-E3 — the ErrorSum bitmask algebra as integer-column expressions.
+
+Mirrors /root/reference/src/errorsum.hpp exactly: 12 flag bits; the
+``set_rivermouth``/``set_outflow``/``set_poss_*`` setters *overwrite* the
+whole mask (``=`` not ``+=``, errorsum.hpp:45-59); ``switch_poss`` only
+fires for river-flagged possibles (errorsum.hpp:132-142 — stream-flagged
+possibles are emitted with all six output error flags false, quirk
+SURVEY.md §7.6.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DIRECTION = 1
+NAME = 2
+TYPE = 4
+SPRING = 8
+END = 16
+RIVERMOUTH = 32
+OUTFLOW = 64
+POSS_RIVERMOUTH = 128
+POSS_OUTFLOW = 256
+STREAM = 512
+RIVER = 1024
+WAY = 2048
+
+
+def has(mask: Column, bit: int) -> Column:
+    return (mask.bitwiseAND(F.lit(bit))) != 0
+
+
+def switch_poss(mask: Column) -> Column:
+    """E2 — errorsum.hpp:132-142, applied at finalize
+    (datastorage.hpp:408-417): river & poss_rivermouth -> end_error;
+    river & poss_outflow -> spring_error; everything else unchanged."""
+    return (
+        F.when(
+            has(mask, RIVER) & has(mask, POSS_RIVERMOUTH),
+            mask - POSS_RIVERMOUTH + END,
+        )
+        .when(
+            has(mask, RIVER) & has(mask, POSS_OUTFLOW),
+            mask - POSS_OUTFLOW + SPRING,
+        )
+        .otherwise(mask)
+    )
+
+
+def resolve_false_positive(mask: Column) -> Column:
+    """E3 — falsepositives.hpp:64-77 (delete_error_node): a traced node
+    becomes rivermouth / outflow (overwriting the mask) or resets to normal."""
+    return (
+        F.when(has(mask, POSS_RIVERMOUTH), F.lit(RIVERMOUTH))
+        .when(has(mask, POSS_OUTFLOW), F.lit(OUTFLOW))
+        .otherwise(F.lit(0))
+    )
+
+
+def _b(c: Column) -> Column:
+    return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+
+
+def node_output_columns(mask: Column) -> dict[str, Column]:
+    """O4 — datastorage.hpp:340-377: mask -> the nodes-table string columns."""
+    return {
+        "specific": F.when(has(mask, RIVERMOUTH), F.lit("rivermouth"))
+        .when(has(mask, OUTFLOW), F.lit("outflow"))
+        .otherwise(F.lit("")),
+        "direction_error": _b(has(mask, DIRECTION)),
+        "name_error": _b(has(mask, NAME)),
+        "type_error": _b(has(mask, TYPE)),
+        "spring_error": _b(has(mask, SPRING)),
+        "end_error": _b(has(mask, END)),
+        "way_error": _b(has(mask, WAY)),
+    }

@@ -1,0 +1,160 @@
+"""Tag predicates (F1-F8) and scalar projections (P1-P5, P7-P11) as native
+Spark column expressions over a ``tags: map<string,string>`` column.
+
+Everything here is deliberately expression-only (no UDFs) so Catalyst can
+push filters into the scan and whole-stage codegen covers the hot path.
+Each function cites the reference implementation it matches
+(/root/reference/src/tagcheck.hpp unless noted); the ``F.when`` chains
+preserve the reference's exact predicate precedence, including its quirks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WATERWAY_TYPES = ["river", "stream", "drain", "brook", "canal", "ditch", "riverbank"]
+# waterway/water values that exclude an area from the PIP index
+# (tagcheck.hpp:101-123)
+AREA_EXCLUDE_VALUES = ["river", "drain", "stream", "canal", "ditch", "riverbank"]
+
+
+def _v(tags: Column, key: str) -> Column:
+    return tags.getItem(key)
+
+
+def is_waterway(tags: Column, is_relation: bool) -> Column:
+    """F1 — tagcheck.hpp:35-60. Precedence: multipolygon reject, riverbank
+    reject, relation type=waterway accept, any waterway accept, way
+    natural=coastline accept."""
+    typ, ww, nat = _v(tags, "type"), _v(tags, "waterway"), _v(tags, "natural")
+    expr = (
+        F.when(typ == "multipolygon", F.lit(False))
+        .when(ww == "riverbank", F.lit(False))
+    )
+    if is_relation:
+        expr = expr.when(typ == "waterway", F.lit(True))
+    expr = expr.when(ww.isNotNull(), F.lit(True))
+    if not is_relation:
+        expr = expr.when(nat == "coastline", F.lit(True))
+    return expr.otherwise(F.lit(False))
+
+
+def waterpolygon_filter(tags: Column) -> Column:
+    """F2 — tagcheck.hpp:62-69 (MultipolygonManager's TagsFilter)."""
+    return F.coalesce(
+        (_v(tags, "natural") == "water")
+        | _v(tags, "waterway").isNotNull()
+        | _v(tags, "landuse").isin("reservoir", "basin"),
+        F.lit(False),
+    )
+
+
+def has_waterway_tag(tags: Column) -> Column:
+    """F3 — tagcheck.hpp:71-74. Key existence only."""
+    return _v(tags, "waterway").isNotNull()
+
+
+def is_way_to_analyse(tags: Column) -> Column:
+    """F4 — tagcheck.hpp:76-99."""
+    return F.coalesce(
+        _v(tags, "waterway").isNotNull()
+        | _v(tags, "natural").isin("coastline", "water")
+        | _v(tags, "landuse").isin("reservoir", "basin"),
+        F.lit(False),
+    )
+
+
+def is_area_to_analyse(tags: Column) -> Column:
+    """F5 — tagcheck.hpp:101-123. Riverbank-ish areas excluded from the PIP
+    index. Null tag values pass (get_value_by_key null -> condition false)."""
+    ww, water = _v(tags, "waterway"), _v(tags, "water")
+    return F.coalesce(~ww.isin(AREA_EXCLUDE_VALUES), F.lit(True)) & F.coalesce(
+        ~water.isin(AREA_EXCLUDE_VALUES), F.lit(True)
+    )
+
+
+def is_riverbank_or_coastline(tags: Column) -> Column:
+    """F6 — tagcheck.hpp:125-135. Selects check-all-nodes mode in pass 3."""
+    return F.coalesce(
+        (_v(tags, "waterway") == "riverbank") | (_v(tags, "natural") == "coastline"),
+        F.lit(False),
+    )
+
+
+def is_water_area(tags: Column) -> Column:
+    """F7 — tagcheck.hpp:137-151."""
+    return F.coalesce(
+        (_v(tags, "natural") == "water")
+        | _v(tags, "landuse").isin("reservoir", "basin")
+        | _v(tags, "waterway").isNotNull(),
+        F.lit(False),
+    )
+
+
+def get_waterway_type(raw: Column) -> Column:
+    """P1 — tagcheck.hpp:19-31. null -> '', known value -> value, else 'other'."""
+    return (
+        F.when(raw.isNull(), F.lit(""))
+        .when(raw.isin(WATERWAY_TYPES), raw)
+        .otherwise(F.lit("other"))
+    )
+
+
+def get_way_type(tags: Column) -> Column:
+    """P2 — tagcheck.hpp:177-189."""
+    t = get_waterway_type(_v(tags, "waterway"))
+    return F.when(
+        t == "",
+        F.when(_v(tags, "natural") == "coastline", F.lit("coastline")).otherwise(F.lit("")),
+    ).otherwise(t)
+
+
+def get_polygon_type(tags: Column) -> Column:
+    """P3 — tagcheck.hpp:166-175. Note the reference quirk: any
+    waterway-tagged area gets type '' (the non-empty waterway type is
+    discarded), and non-coastline areas fall back to the landuse value."""
+    return (
+        F.when(_v(tags, "natural") == "coastline", F.lit("coastline"))
+        .when(
+            get_waterway_type(_v(tags, "waterway")) == "",
+            F.coalesce(_v(tags, "landuse"), F.lit("")),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+def get_waterway_category(way_type: Column) -> Column:
+    """P4 — tagcheck.hpp:153-164 / datastorage.hpp:57-65. ASCII ordering
+    '?'<'A'<'B'<'C' is load-bearing for A2's max()."""
+    return (
+        F.when(way_type.isin("drain", "brook", "ditch"), F.lit("A"))
+        .when(way_type == "stream", F.lit("B"))
+        .when(way_type == "river", F.lit("C"))
+        .otherwise(F.lit("?"))
+    )
+
+
+def get_width_tag(tags: Column) -> Column:
+    """P5 — tagcheck.hpp:191-201. width, else est_width, else null."""
+    return F.coalesce(_v(tags, "width"), _v(tags, "est_width"))
+
+
+def get_construction(tags: Column) -> Column:
+    """P9 — tagcheck.hpp:203-211. Key existence, bridge wins."""
+    return (
+        F.when(_v(tags, "bridge").isNotNull(), F.lit("bridge"))
+        .when(_v(tags, "tunnel").isNotNull(), F.lit("tunnel"))
+        .otherwise(F.lit(""))
+    )
+
+
+def format_lastchange(ts: Column) -> Column:
+    """P8 — datastorage.hpp:131-136. ISO -> 'YYYY-MM-DD HH:MM:SS'."""
+    return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
+
+def name_or_empty(tags: Column) -> Column:
+    """Reference stores '' for missing names in the connectivity map
+    (datastorage.hpp:306) and leaves the DB field NULL; we normalize to ''."""
+    return F.coalesce(_v(tags, "name"), F.lit(""))
