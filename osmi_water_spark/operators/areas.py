@@ -1,0 +1,228 @@
+"""G4/O1 — water-area assembly (closed ways + multipolygon relations) and
+the polygon side of the PIP index.
+
+The reference delegates to libosmium's MultipolygonManager + Assembler
+(/root/reference/src/waterinspector.cpp:103-106, :125-129) filtered by F2,
+then AreaHandler (/root/reference/src/areahandler.hpp:82-98) applies the
+F7 gate (polygon row) and the F5 gate (PIP index entry per polygon part).
+
+Spark shape: closed tagged ways pass through directly; multipolygon
+relations group their member way segments and an ``applyInPandas`` stage
+assembles rings (greedy endpoint chaining), classifies outer/inner by
+member role, and nests holes into their containing outer. Output geometry
+is MultiPolygon WKB; each polygon *part* also becomes one index row with
+its own bbox (matching the reference's envelope-per-polygon STRtree
+inserts, areahandler.hpp:48-62).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmi_water_spark.functions import tags as TG
+from osmi_water_spark.functions import wkb as W
+
+_AREA_SCHEMA = T.StructType(
+    [
+        T.StructField("area_key", T.StringType(), False),
+        T.StructField("geom_wkb", T.BinaryType(), True),
+    ]
+)
+
+
+def _chain_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """Greedy endpoint chaining of line segments into closed rings
+    (the Assembler's ring-building, osmium_geos_factory geos_factory.hpp:195-270
+    re-expressed; segments may need reversing)."""
+    segs = [np.asarray(s, dtype=np.float64) for s in segments if s is not None and len(s) >= 2]
+    rings: list[np.ndarray] = []
+    while segs:
+        cur = segs.pop(0)
+        # already closed?
+        while not (cur[0] == cur[-1]).all():
+            found = False
+            for i, s in enumerate(segs):
+                if (s[0] == cur[-1]).all():
+                    cur = np.vstack([cur, s[1:]])
+                    segs.pop(i)
+                    found = True
+                    break
+                if (s[-1] == cur[-1]).all():
+                    cur = np.vstack([cur, s[::-1][1:]])
+                    segs.pop(i)
+                    found = True
+                    break
+            if not found:
+                break  # open ring: dropped (assembler would error the area)
+        if (cur[0] == cur[-1]).all() and len(cur) >= 4:
+            rings.append(cur)
+    return rings
+
+
+def _ring_contains_point(ring: np.ndarray, x: float, y: float) -> bool:
+    return bool(W.points_in_rings(np.array([x]), np.array([y]), [ring])[0])
+
+
+def assemble_multipolygon(
+    outer_segs: list[np.ndarray], inner_segs: list[np.ndarray]
+) -> bytes | None:
+    """Rings -> MultiPolygon WKB; each inner nested into the outer that
+    contains its first vertex."""
+    outers = _chain_rings(outer_segs)
+    inners = _chain_rings(inner_segs)
+    if not outers:
+        return None
+    polys: list[list[np.ndarray]] = [[o] for o in outers]
+    for hole in inners:
+        hx, hy = float(hole[0, 0]), float(hole[0, 1])
+        for poly in polys:
+            if _ring_contains_point(poly[0], hx, hy):
+                poly.append(hole)
+                break
+    return W.wkb_multipolygon(polys)
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    key = pdf["area_key"].iloc[0]
+    outer, inner = [], []
+    for role, pts in zip(pdf["role"], pdf["coords"]):
+        seg = np.array([[p["lon"], p["lat"]] for p in pts], dtype=np.float64) if pts is not None and len(pts) else None
+        if seg is None:
+            continue
+        # osmium treats empty role as outer
+        (inner if role == "inner" else outer).append(seg)
+    wkb = assemble_multipolygon(outer, inner)
+    return pd.DataFrame({"area_key": [key], "geom_wkb": [wkb]})
+
+
+def build_areas(
+    ways_located: DataFrame, relations: DataFrame
+) -> DataFrame:
+    """All assembled water areas:
+    (area_key, way_id, relation_id, tags, ts, geom_wkb[MultiPolygon]).
+
+    Closed F2-tagged ways become single-ring areas directly (no shuffle);
+    multipolygon relations shuffle once on relation id for ring assembly.
+    """
+    # --- closed tagged ways (from_way areas) ---
+    closed = ways_located.filter(
+        TG.waterpolygon_filter(F.col("tags"))
+        & (F.size("node_ids") >= 4)
+        & (F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
+    )
+    way_areas = closed.select(
+        F.concat(F.lit("w"), F.col("id")).alias("area_key"),
+        F.col("id").alias("way_id"),
+        F.lit(0).cast("long").alias("relation_id"),
+        "tags",
+        "ts",
+        "coords",
+    )
+    way_areas_g = way_areas.withColumn("geom_wkb", _closed_way_polygon("coords")).drop("coords")
+
+    # --- multipolygon relations ---
+    mp_rels = relations.filter(
+        (F.col("tags").getItem("type") == "multipolygon") & TG.waterpolygon_filter(F.col("tags"))
+    )
+    members = mp_rels.select(
+        F.col("id").alias("rel_id"),
+        F.explode("members").alias("m"),
+    ).filter(F.col("m.type") == "way")
+    segs = members.join(
+        ways_located.select(F.col("id").alias("mw_id"), "coords"),
+        members["m.ref"] == F.col("mw_id"),
+        "inner",
+    ).select(
+        F.concat(F.lit("r"), F.col("rel_id")).alias("area_key"),
+        F.col("m.role").alias("role"),
+        "coords",
+    )
+    rel_geoms = segs.groupBy("area_key").applyInPandas(_assemble_group, _AREA_SCHEMA)
+    rel_areas = mp_rels.select(
+        F.concat(F.lit("r"), F.col("id")).alias("area_key"),
+        F.lit(0).cast("long").alias("way_id"),
+        F.col("id").alias("relation_id"),
+        "tags",
+        "ts",
+    ).join(rel_geoms, "area_key", "inner")
+
+    both = way_areas_g.select(
+        "area_key", "way_id", "relation_id", "tags", "ts", "geom_wkb"
+    ).unionByName(rel_areas.select("area_key", "way_id", "relation_id", "tags", "ts", "geom_wkb"))
+    return both.filter(F.col("geom_wkb").isNotNull())
+
+
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+
+@pandas_udf(T.BinaryType())
+def _closed_way_polygon(coords: pd.Series) -> pd.Series:
+    def build(pts):
+        if pts is None or len(pts) < 4:
+            return None
+        a = np.array([[p["lon"], p["lat"]] for p in pts], dtype=np.float64)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+        a = a[keep]
+        if len(a) < 4 or not (a[0] == a[-1]).all():
+            return None
+        return W.wkb_multipolygon([[a]])
+
+    return coords.map(build)
+
+
+def polygon_table(areas: DataFrame, cell_res: int) -> DataFrame:
+    """O1 — datastorage.hpp:242-273: the polygons output table (F7 gate)."""
+    from osmi_water_spark.operators.assemble import _wkb_cover_cells
+
+    gated = areas.filter(TG.is_water_area(F.col("tags")))
+    return gated.select(
+        "way_id",
+        "relation_id",
+        TG.get_polygon_type(F.col("tags")).alias("type"),
+        TG.name_or_empty(F.col("tags")).alias("name"),
+        TG.format_lastchange(F.col("ts")).alias("lastchange"),
+        F.lit(None).cast("string").alias("error"),  # declared, never set
+        "geom_wkb",
+        _wkb_cover_cells(F.col("geom_wkb"), F.lit(cell_res)).alias("h3_cells"),
+    )
+
+
+_PARTS_SCHEMA = (
+    "area_key string, part_wkb binary, minx double, miny double, maxx double, maxy double"
+)
+
+
+def pip_index(areas: DataFrame) -> DataFrame:
+    """The PIP index side (F5+F7 gate, areahandler.hpp:89-90): one row per
+    polygon *part* with its own envelope."""
+    import pandas as _pd
+
+    gated = areas.filter(
+        TG.is_water_area(F.col("tags")) & TG.is_area_to_analyse(F.col("tags"))
+    ).select("area_key", "geom_wkb")
+
+    def explode_parts(batches):
+        for pdf in batches:
+            rows = {"area_key": [], "part_wkb": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
+            for key, buf in zip(pdf["area_key"], pdf["geom_wkb"]):
+                if buf is None:
+                    continue
+                gtype, payload = W.parse_wkb(bytes(buf))
+                parts = payload if gtype == W.MULTIPOLYGON else [payload]
+                for rings in parts:
+                    pw = W.wkb_polygon(rings)
+                    allc = np.vstack(rings)
+                    rows["area_key"].append(key)
+                    rows["part_wkb"].append(pw)
+                    rows["minx"].append(float(allc[:, 0].min()))
+                    rows["miny"].append(float(allc[:, 1].min()))
+                    rows["maxx"].append(float(allc[:, 0].max()))
+                    rows["maxy"].append(float(allc[:, 1].max()))
+            yield _pd.DataFrame(rows)
+
+    return gated.mapInPandas(explode_parts, _PARTS_SCHEMA)

@@ -1,0 +1,48 @@
+"""J1 — node-location resolution as an equi-join.
+
+The reference keeps an in-memory id->location ``SparseMemArray``
+(/root/reference/src/waterinspector.cpp:40-46, :96-99) and locates each
+way's node refs while streaming. In Spark the join *is* the index:
+``explode(node_ids)`` joined against the nodes table. The join is a plain
+equi-join on a long key — Catalyst/AQE picks broadcast vs sort-merge by
+size (nodes subset is broadcast-able at small SF; at 100 TB it's a
+shuffle join on the node-id key with AQE skew handling).
+
+``ignore_errors`` (waterinspector.cpp:99) = left join + drop unlocated
+refs before geometry (located coordinate list keeps way order via
+posexplode + array_sort on position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def locate_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """ways(id, node_ids, ...) x nodes(id, lon, lat) -> ways + ``coords``
+    array<struct<lon,lat>> (order-preserving, unlocated refs dropped)."""
+    exploded = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "nid"))
+    located = exploded.join(
+        nodes.select(F.col("id").alias("nid"), "lon", "lat"), "nid", "left"
+    ).filter(F.col("lon").isNotNull())
+    coords = located.groupBy("way_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts")
+    )
+    return (
+        ways.join(coords, ways["id"] == coords["way_id"], "left")
+        .drop("way_id")
+        .withColumn(
+            "coords",
+            F.coalesce(
+                F.transform("pts", lambda p: F.struct(p["lon"].alias("lon"), p["lat"].alias("lat"))),
+                F.array().cast("array<struct<lon:double,lat:double>>"),
+            ),
+        )
+        .drop("pts")
+    )
+
+
+def node_locations(nodes: DataFrame) -> DataFrame:
+    """(node_id, lon, lat) lookup side for point features."""
+    return nodes.select(F.col("id").alias("node_id"), "lon", "lat")

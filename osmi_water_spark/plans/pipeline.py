@@ -1,0 +1,194 @@
+"""The end-to-end pipeline — the reference's 3-pass ``main()``
+(/root/reference/src/waterinspector.cpp:108-153) as a DAG of DataFrame
+stages:
+
+  A extract      pages -> nodes/ways/relations          (Arrow UDF scan)
+  B locate       J1 equi-join                           (shuffle on node id)
+  C assemble     J2 + G2-G4 + O1-O3                     (shuffle on rel id)
+  D connectivity J3 + A1-A5 + E4                        (shuffle on node id)
+  E passes 3/4   J4 hit-count join + J5 cell PIP join   (shuffles on node id / cell)
+  F finalize     E2 + O4 + tiles                        (narrow)
+
+Each checkpointable stage can persist to parquet (Iceberg in production)
+and is resumable: an existing ``_SUCCESS``-marked output is read back
+instead of recomputed, and a ``_lineage`` table records per-stage,
+per-partition row counts + wall time (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from osmi_water_spark.functions import cells as C
+from osmi_water_spark.functions import errors as E
+from osmi_water_spark.operators import areas as AR
+from osmi_water_spark.operators import assemble as AS
+from osmi_water_spark.operators import connectivity as CN
+from osmi_water_spark.operators import false_positives as FP
+from osmi_water_spark.operators import tiling as TI
+from osmi_water_spark.operators.extract import extract_entities, split_entities
+from osmi_water_spark.operators.locate import locate_ways, node_locations
+
+
+@pandas_udf(T.BinaryType())
+def _point_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    import struct
+
+    hdr = struct.pack("<BI", 1, 1)
+    return pd.Series(
+        [None if x is None or pd.isna(x) else hdr + struct.pack("<dd", x, y)
+         for x, y in zip(lon, lat)]
+    )
+
+
+class Lineage:
+    """Per-stage lineage/metrics collector -> _lineage parquet."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def record(self, stage: str, df: DataFrame, t0: float, input_rows: int | None = None,
+               fingerprint: str = "") -> None:
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        wall = int((time.time() - t0) * 1000)
+        total = sum(r["count"] for r in per_part)
+        for r in per_part:
+            self.rows.append(
+                dict(stage=stage, partition_id=int(r["pid"]),
+                     input_rows=int(input_rows or -1), output_rows=int(r["count"]),
+                     wall_ms=wall, input_fingerprint=fingerprint)
+            )
+        self.rows.append(
+            dict(stage=stage, partition_id=-1, input_rows=int(input_rows or -1),
+                 output_rows=total, wall_ms=wall, input_fingerprint=fingerprint)
+        )
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        from osmi_water_spark.schemas import LINEAGE
+
+        return spark.createDataFrame(self.rows or [], LINEAGE)
+
+
+def _stage(out_dir: str | None, name: str, compute, spark: SparkSession,
+           lineage: Lineage | None, resume: bool):
+    """Checkpoint-or-resume wrapper: parquet per stage when out_dir is set."""
+    if out_dir:
+        path = os.path.join(out_dir, name)
+        if resume and os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.parquet(path), True
+        t0 = time.time()
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        if lineage is not None:
+            lineage.record(name, out, t0)
+        return out, False
+    return compute(), False
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str | None = None,
+    cell_res: int = C.DEFAULT_RES,
+    tile_z: int = 8,
+    salt: int = 1,
+    resume: bool = False,
+    with_lineage: bool = True,
+) -> dict[str, DataFrame]:
+    """pages -> the four output tables + tile tables (+ checkpoints)."""
+    lineage = Lineage() if (with_lineage and out_dir) else None
+
+    # ---- Stage A: extraction ----
+    entities, _ = _stage(
+        out_dir, "entities", lambda: extract_entities(pages), spark, lineage, resume
+    )
+    nodes, ways, relations = split_entities(entities)
+
+    # ---- Stage B: locate (J1) ----
+    ways_located, _ = _stage(
+        out_dir, "ways_located", lambda: locate_ways(ways, nodes), spark, lineage, resume
+    )
+    locations = node_locations(nodes)
+
+    # ---- Stage C: assembly ----
+    way_rows = AS.build_way_rows(relations, ways_located)
+    parts = AS.assemble_ways(way_rows, cell_res)
+    ways_out = parts["ways"]
+    remembered = parts["remembered"]
+    way_errors = parts["way_errors"]
+    relations_out = AS.assemble_relations(relations, parts["geoms"], cell_res)
+
+    areas = AR.build_areas(ways_located, relations)
+    polygons_out = AR.polygon_table(areas, cell_res)
+    pip_parts = AR.pip_index(areas)
+
+    # ---- Stage D: connectivity ----
+    masks = CN.error_mask(CN.node_stats(remembered))
+    normal, candidates = CN.split_candidates(masks)
+
+    # ---- Stage E: passes 3 + 4 ----
+    after3 = FP.apply_pass3(candidates, ways)
+    after4 = FP.apply_pass4(after3, locations, pip_parts, salt=salt)
+
+    # ---- Stage F: finalize nodes table (O4) ----
+    emitted3 = after3.filter(F.col("emitted3")).select("node_id", F.lit(0).alias("final_mask"))
+    emitted4 = after4.filter(F.col("emitted4")).select("node_id", F.lit(0).alias("final_mask"))
+    survivors = after4.filter(~F.col("emitted4")).select(
+        "node_id", E.switch_poss(F.col("mask4")).alias("final_mask")
+    )
+    normal_rows = normal.select("node_id", F.col("mask").alias("final_mask"))
+    way_error_rows = way_errors.select("node_id", F.lit(E.WAY).alias("final_mask"))
+
+    all_nodes = (
+        normal_rows.unionByName(way_error_rows)
+        .unionByName(emitted3)
+        .unionByName(emitted4)
+        .unionByName(survivors)
+    )
+    # location join: normal emission requires a location (handle_node skips
+    # unlocated nodes, waterway.hpp:142-147); fixtures locate everything.
+    located = all_nodes.join(locations, "node_id", "inner")
+    ecols = E.node_output_columns(F.col("final_mask"))
+    nodes_out = located.select(
+        F.col("node_id").cast("string").alias("node_id"),
+        *[v.alias(k) for k, v in ecols.items()],
+        _point_wkb("lon", "lat").alias("geom_wkb"),
+        C.cell_of(F.col("lon"), F.col("lat"), cell_res).alias("h3_cell"),
+        "lon",
+        "lat",
+    )
+
+    out: dict[str, DataFrame] = {}
+    out["ways"], _ = _stage(out_dir, "ways", lambda: ways_out, spark, lineage, resume)
+    out["relations"], _ = _stage(out_dir, "relations", lambda: relations_out, spark, lineage, resume)
+    out["polygons"], _ = _stage(out_dir, "polygons", lambda: polygons_out, spark, lineage, resume)
+    out["nodes"], _ = _stage(out_dir, "nodes", lambda: nodes_out, spark, lineage, resume)
+
+    tv = TI.tile_validation(out["nodes"], tile_z)
+    polys_fid = out["polygons"].withColumn(
+        "fid", F.when(F.col("way_id") != 0, F.col("way_id")).otherwise(F.col("relation_id"))
+    )
+    ta = (
+        TI.feature_tile_assignment(out["ways"], "ways", "way_id", tile_z, cell_res)
+        .unionByName(TI.feature_tile_assignment(polys_fid, "polygons", "fid", tile_z, cell_res))
+        .unionByName(
+            TI.feature_tile_assignment(out["relations"], "relations", "relation_id", tile_z, cell_res)
+        )
+    )
+    out["tile_validation"], _ = _stage(out_dir, "tile_validation", lambda: tv, spark, lineage, resume)
+    out["tile_assignment"], _ = _stage(out_dir, "tile_assignment", lambda: ta, spark, lineage, resume)
+
+    if lineage is not None:
+        lineage.dataframe(spark).write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage"))
+        out["_lineage"] = spark.read.parquet(os.path.join(out_dir, "_lineage"))
+    return out

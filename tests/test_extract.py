@@ -1,0 +1,50 @@
+"""Stage A extraction: byte-identical text per url + entity round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmi_water_spark.operators.extract import extract_entities, split_entities
+from osmi_water_spark.sources import pages_gen as PG
+
+
+def test_text_byte_identity(spark):
+    rows = PG.pages_rows()
+    pages = PG.pages_dataframe(spark, rows)
+    extracted = extract_entities(pages)
+    joined = pages.select("url", F.col("text").alias("truth")).join(
+        extracted.select("url", "text"), "url"
+    )
+    bad = joined.filter(
+        (F.col("text") != F.col("truth")) | F.col("text").isNull()
+    ).count()
+    assert bad == 0
+    assert joined.count() == len(rows)
+    # byte-level (not just string) equality
+    sample = joined.limit(50).collect()
+    for r in sample:
+        assert r.text.encode() == r.truth.encode()
+
+
+def test_entity_roundtrip(spark):
+    rows = PG.pages_rows(["w10_relation"])
+    pages = PG.pages_dataframe(spark, rows)
+    nodes, ways, relations = split_entities(extract_entities(pages))
+    assert nodes.count() == 7
+    w = {r.id: r for r in ways.collect()}
+    assert len(w) == 3
+    wid = 10 * 100_000 + 50_000 + 1
+    assert w[wid].tags["waterway"] == "river" and w[wid].tags["name"] == "R"
+    assert list(w[wid].node_ids) == [10 * 100_000 + 1, 10 * 100_000 + 2]
+    assert w[wid].ts is not None
+    rel = relations.first()
+    assert [m.type for m in rel.members] == ["way", "way", "way", "node"]
+    assert rel.tags["type"] == "waterway"
+
+
+def test_scale_generator_deterministic(spark):
+    a = PG.scale_pages_rows(5)
+    b = PG.scale_pages_rows(5)
+    assert a == b
+    assert len(a) == 80  # 16 entities per chain (11 nodes + 5 ways)
+    assert len({r["url"] for r in a}) == 80  # urls unique
