@@ -1,0 +1,234 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Plan shape (the part that matters at 100 TB): signatures are computed in
+one Arrow-batched pass (numpy per batch, no per-row Python); candidate
+generation is an equi-join on (band, band_hash) bucket keys — never an
+all-pairs comparison; verification touches only bucket-collision pairs.
+All hashing is explicitly seeded -> byte-stable across runs, partitions,
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+_NUM_PERM = 64
+_SEED = 42
+_rs = np.random.RandomState(_SEED)
+_A = _rs.randint(1, _MERSENNE, size=_NUM_PERM, dtype=np.int64)
+_B = _rs.randint(0, _MERSENNE, size=_NUM_PERM, dtype=np.int64)
+_TOKEN_RE = re.compile(r"\W+")
+
+
+# ---------------- exact ----------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: (text_hash, n_docs, keep_id=min id).
+    One shuffle on the 128-bit content hash; map-side partial agg free."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# ---------------- shingles + minhash ----------------
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.array(
+        sorted({zlib.crc32(g.encode()) for g in grams}), dtype=np.int64
+    )
+
+
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    h = _shingle_hashes(text, n)
+    if h.size == 0:
+        return np.zeros(_NUM_PERM, dtype=np.int64)
+    # (a*x + b) mod p for all perms at once: (P, S) matrix min over shingles
+    vals = (np.multiply.outer(_A, h) + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda s: minhash_signature(s or "").tolist())
+
+
+def minhash_bands(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 16, rows: int = 4,
+) -> DataFrame:
+    """doc -> (doc_id, band, band_hash) bucket rows (LSH banding)."""
+    assert bands * rows == _NUM_PERM
+    sig = docs.select(F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bucketed: DataFrame) -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b). The join key is
+    (band, band_hash) so hot buckets are the only skew surface; bucket
+    sizes are bounded by band width in practice."""
+    l = bucketed.select("band", "band_hash", F.col("doc_id").alias("a"))
+    r = bucketed.select("band", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band", "band_hash"], "inner")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+_VERIFY_SCHEMA = "a long, b long, jaccard double"
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col="text", id_col="doc_id",
+                   n: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only (join back the two
+    texts, one Arrow pass)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    joined = (
+        pairs.join(d.withColumnRenamed("doc_id", "a").withColumnRenamed("t", "ta"), "a")
+        .join(d.withColumnRenamed("doc_id", "b").withColumnRenamed("t", "tb"), "b")
+    )
+
+    def batch(it):
+        for pdf in it:
+            out = {"a": [], "b": [], "jaccard": []}
+            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["ta"], pdf["tb"]):
+                sa = set(_shingle_hashes(ta or "", n))
+                sb = set(_shingle_hashes(tb or "", n))
+                j = len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+                out["a"].append(a)
+                out["b"].append(b)
+                out["jaccard"].append(j)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(batch, _VERIFY_SCHEMA).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> minhash -> band -> bucket-join
+    -> exact-verify."""
+    pairs = lsh_candidate_pairs(minhash_bands(docs, **kw))
+    return verify_jaccard(pairs, docs, threshold=threshold, **{k: v for k, v in kw.items() if k in ("text_col", "id_col")})
+
+
+# ---------------- simhash ----------------
+
+
+def simhash64(text: str) -> int:
+    toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += 2 * bits.astype(np.int64) - 1
+    out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed 64
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(simhash64)
+
+
+def simhash_candidates(docs: DataFrame, text_col="text", id_col="doc_id",
+                       chunks: int = 4) -> DataFrame:
+    """Candidate pairs sharing any 16-bit simhash chunk (classic 64/4 split:
+    catches all pairs with hamming distance <= 3)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
+    w = 64 // chunks
+    chunk_cols = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned("sh", c * w).bitwiseAND(F.lit((1 << w) - 1)).alias("val"))
+        for c in range(chunks)
+    ]
+    b = sh.select("doc_id", "sh", F.explode(F.array(*chunk_cols)).alias("cc")).select(
+        "doc_id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    l = b.select("chunk", "val", F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    r = b.select("chunk", "val", F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    pairs = (
+        l.join(r, ["chunk", "val"], "inner").filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha", "shb").distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return pairs.select("a", "b", hamming.alias("hamming"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    return simhash_candidates(docs, **kw).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------- embedding cosine near-dup ----------------
+
+_HYPER = np.random.RandomState(_SEED + 1).randn(16, 64)
+
+
+@pandas_udf(T.IntegerType())
+def hyperplane_bucket(emb: pd.Series) -> pd.Series:
+    """16-bit random-hyperplane LSH bucket (seeded) for 64-dim embeddings."""
+    m = np.vstack(emb.to_numpy())
+    signs = (m @ _HYPER.T) > 0
+    return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dups via hyperplane-LSH buckets + in-bucket exact cosine.
+    The bucket join replaces the O(N^2) comparison; recall tunable by bits."""
+    b = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    l = b.select("bucket", F.col("vid").alias("a"), F.col("v").alias("va"))
+    r = b.select("bucket", F.col("vid").alias("b"), F.col("v").alias("vb"))
+    pairs = l.join(r, "bucket", "inner").filter(F.col("a") < F.col("b"))
+
+    def batch(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            va = np.vstack(pdf["va"].to_numpy())
+            vb = np.vstack(pdf["vb"].to_numpy())
+            cos = (va * vb).sum(1) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1) + 1e-12
+            )
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+
+    out = pairs.select("a", "b", "va", "vb").mapInPandas(batch, "a long, b long, cosine double")
+    return out.filter(F.col("cosine") >= threshold).dropDuplicates(["a", "b"])
