@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship graft operation (the salted cell-indexed
+point-in-polygon join + raster/vector tile assignment) over the sf0.001
+tables; ``queries``/``oracle_sql`` expose every implemented SURVEY.md §2
+operator with DuckDB-checkable oracles (osmi_water_spark/plans/
+testdata_queries.py documents the derivation scheme).
 """
 
 from __future__ import annotations
@@ -12,27 +12,32 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP spatial join + tile assignment on /root/testdata/sf0.001."""
+    from osmi_water_spark.functions import cells as C
+    from osmi_water_spark.plans import testdata_queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    pairs = Q._pip_query(spark, sf, salt=4)
+    pts = Q._nodes_geo(spark, sf).select(F.col("node_id").alias("point_id"), "lon", "lat")
+    return pairs.join(pts, "point_id").select(
+        "point_id",
+        "poly_id",
+        C.tile_id(F.col("lon"), F.col("lat"), Q.Z_TILE).alias("tile_id"),
+        C.cell_of(F.col("lon"), F.col("lat"), Q.RES_CELL).alias("cell_id"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmi_water_spark.plans.testdata_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmi_water_spark.plans.testdata_queries import ORACLES
+
+    return dict(ORACLES)

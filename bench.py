@@ -1,0 +1,106 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Primary metric: end-to-end waterway-pipeline throughput in pages
+(documents) per second over a distributed synthetic pages table
+(extraction -> locate -> assemble -> connectivity -> PIP passes ->
+nodes+tiles), i.e. the BASELINE.json "spatial-join + tile-assignment
+throughput (docs/sec)". Secondary timings cover the other headline
+operators. Knobs via env: SPARK_GRAFT_CHAINS (pipeline input size,
+default 4000 chains = 64k pages at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmi_water_spark import get_spark  # noqa: E402
+from osmi_water_spark.plans import testdata_queries as Q  # noqa: E402
+from osmi_water_spark.plans.pipeline import run_pipeline  # noqa: E402
+from osmi_water_spark.sources.pages_gen import scale_pages_df  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(json.dumps({"error": f"sf dir not found: {sf_dir}"}))
+        sys.exit(2)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    chains = int(os.environ.get("SPARK_GRAFT_CHAINS", min(20000, max(200, int(40000 * sf)))))
+
+    spark = get_spark(app_name="osmi-water-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        times[name] = round(time.time() - t0, 3)
+        return n
+
+    # warm the JVM / codegen / Arrow-worker paths so the timed window
+    # measures steady-state throughput, not session startup
+    spark.range(1000).select(F.sum("id")).collect()
+    warm = scale_pages_df(spark, 20).cache()
+    warm.count()
+    wout = run_pipeline(spark, warm, out_dir=None, with_lineage=False)
+    for k in ("ways", "relations", "polygons", "nodes"):
+        wout[k].count()
+    spark.catalog.clearCache()
+
+    # ---- headline: full pipeline docs/sec ----
+    pages = scale_pages_df(spark, chains).cache()
+    n_pages = pages.count()  # materialize input outside the timed window
+
+    def run_pipe():
+        out = run_pipeline(spark, pages, out_dir=None, with_lineage=False)
+        return sum(out[k].count() for k in ("ways", "relations", "polygons", "nodes"))
+
+    timed("pipeline", run_pipe)
+    docs_per_sec = round(n_pages / times["pipeline"], 1)
+
+    # ---- secondary operator timings over the sf tables ----
+    timed("pip_join", lambda: Q.q_j5_pip(spark, sf_dir).count())
+    timed("pip_join_salted", lambda: Q.q_j5_pip_salted(spark, sf_dir).count())
+    timed("connectivity", lambda: Q.q_j3_connectivity(spark, sf_dir).count())
+    timed("locate", lambda: Q.q_j1_locate(spark, sf_dir).count())
+    timed("knn", lambda: Q.q_j6_knn(spark, sf_dir).count())
+    timed("tiles", lambda: Q.q_tiles(spark, sf_dir).count())
+    timed("map_layers", lambda: Q.q_map_layers(spark, sf_dir).count())
+    timed("dedup_exact", lambda: Q.q_dedup_exact(spark, sf_dir).count())
+    timed("minhash_near_dups", lambda: Q.q_minhash_near_dups(spark, sf_dir).count())
+    timed("ann_bruteforce", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
+    timed("text_stats", lambda: Q.q_text_stats(spark, sf_dir).count())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "pages": n_pages,
+                "cpus": cpus,
+                "total_sec": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,9 @@ from osmi_water_spark.functions import cells as C
 
 
 def _ranked(cand: DataFrame, k: int) -> DataFrame:
-    dist = (F.col("lon") - F.col("n_lon")) ** 2 + (F.col("lat") - F.col("n_lat")) ** 2
+    dx = F.col("lon") - F.col("n_lon")
+    dy = F.col("lat") - F.col("n_lat")
+    dist = dx * dx + dy * dy  # plain multiplies (bit-identical to the SQL oracle)
     w = Window.partitionBy("point_id").orderBy(dist.asc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("dist2", dist)

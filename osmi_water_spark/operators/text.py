@@ -19,16 +19,16 @@ DE_STOPWORDS = [" der ", " und ", " die "]
 
 def token_count(text: Column) -> Column:
     """Whitespace tokens (single-space convention of the corpus)."""
-    return F.size(F.split(text, " ", -1))
+    return F.size(F.split(text, " ", -1)).cast("long")
 
 
 def char_count(text: Column) -> Column:
-    return F.length(text)
+    return F.length(text).cast("long")
 
 
 def punct_count(text: Column) -> Column:
     """Occurrences of . , ! ? ; : via the translate-diff trick (portable)."""
-    return F.length(text) - F.length(F.translate(text, PUNCT, ""))
+    return (F.length(text) - F.length(F.translate(text, PUNCT, ""))).cast("long")
 
 
 def _occurrences(text: Column, needle: str) -> Column:
@@ -56,7 +56,7 @@ def quality_score(text: Column) -> Column:
         + F.least(F.lit(20), stops * 2)
         - F.least(F.lit(30), punct * 100 / F.greatest(chars, F.lit(1)))
     )
-    return F.greatest(F.lit(0), F.least(F.lit(100), score.cast("long")))
+    return F.greatest(F.lit(0), F.least(F.lit(100), F.floor(score).cast("long")))
 
 
 def lang_guess(text: Column) -> Column:

@@ -92,7 +92,10 @@ def _stage(out_dir: str | None, name: str, compute, spark: SparkSession,
         if lineage is not None:
             lineage.record(name, out, t0)
         return out, False
-    return compute(), False
+    # no checkpoint dir: cache stage outputs so the DAG is evaluated once
+    # even when several downstream consumers (or separate count() actions)
+    # pull on it — the in-memory analogue of the parquet checkpoint
+    return compute().cache(), False
 
 
 def run_pipeline(

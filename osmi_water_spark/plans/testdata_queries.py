@@ -1,0 +1,837 @@
+"""Driver-contract queries: every SURVEY.md §2 operator exercised over the
+driver's testdata tables, each paired with an ANSI-SQL oracle that DuckDB
+runs on the same parquet (CORRECTNESS gate).
+
+Scheme: geo inputs are *derived deterministically* from the TPC-H-ish keys
+(same integer/double arithmetic on both engines — identical expression
+shape means identical IEEE results), so the Spark implementation under
+test is the engine's real operator (map-typed tags, cell joins, pandas-UDF
+refine, window top-k) while the oracle re-states the expected semantics
+independently in SQL. Boundary offsets (0.05 vs 0.025 grids) keep points
+off polygon edges and cell/tile boundaries so FP rounding can't flip a
+containment or a floor().
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmi_water_spark.functions import cells as C
+from osmi_water_spark.functions import errors as E
+from osmi_water_spark.functions import tags as TG
+from osmi_water_spark.functions.width import width_struct
+
+# ---------------- shared derivations ----------------
+
+WIDTH_LIST = ['3', '3,5', '5 km', '2 mi', '6\'7"', 'abc', '', '30"', '1 nmi',
+              '4.2', '0,8 m', "12'", '7 m', None]
+# float32-exact expected values (computed once from the reference-parity parser)
+WIDTH_EXPECT = [
+    (3.0, False), (3.5, True), (5000.0, False), (3218.68798828125, False),
+    (2.0065999031066895, False), (-1.0, False), (-1.0, False),
+    (0.7620000243186951, False), (1852.0, False), (4.199999809265137, False),
+    (0.800000011920929, True), (3.657599925994873, False), (7.0, False),
+    (0.0, False),
+]
+
+WW_VALUES = ["river", "stream", "drain", "brook", "canal", "ditch", "riverbank", "weir"]
+
+
+def _tags_from_key(k):
+    """Spark: key -> map<string,string> with deterministic OSM-ish tags."""
+    ww = F.when(k % 9 < 8, F.element_at(F.array(*[F.lit(v) for v in WW_VALUES]), (k % 9 + 1).cast("int")))
+    natural = F.when(k % 7 == 0, F.lit("coastline")).when(k % 7 == 1, F.lit("water"))
+    landuse = (
+        F.when(k % 11 == 0, F.lit("reservoir")).when(k % 11 == 1, F.lit("basin"))
+        .when(k % 11 == 2, F.lit("farm"))
+    )
+    water = F.when(k % 23 == 0, F.lit("river")).when(k % 23 == 1, F.lit("lake"))
+    name = F.when(k % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("N"), (k % 50).cast("string"))
+    )
+    width = F.element_at(
+        F.array(*[F.lit(w).cast("string") for w in WIDTH_LIST]), (k % 14 + 1).cast("int")
+    )
+    est_width = F.when(k % 3 == 0, F.lit("7"))
+    bridge = F.when(k % 17 == 0, F.lit("yes"))
+    tunnel = F.when(k % 19 == 0, F.lit("culvert"))
+    m = F.create_map(
+        F.lit("waterway"), ww, F.lit("natural"), natural, F.lit("landuse"), landuse,
+        F.lit("water"), water, F.lit("name"), name, F.lit("width"), width,
+        F.lit("est_width"), est_width, F.lit("bridge"), bridge, F.lit("tunnel"), tunnel,
+    )
+    return F.map_filter(m, lambda _, v: v.isNotNull())
+
+
+# same tag values as SQL snippets (oracle side)
+SQL_WW = "CASE WHEN k%9<8 THEN (['river','stream','drain','brook','canal','ditch','riverbank','weir'])[k%9+1] END"
+SQL_NATURAL = "CASE WHEN k%7=0 THEN 'coastline' WHEN k%7=1 THEN 'water' END"
+SQL_LANDUSE = "CASE WHEN k%11=0 THEN 'reservoir' WHEN k%11=1 THEN 'basin' WHEN k%11=2 THEN 'farm' END"
+SQL_WATER = "CASE WHEN k%23=0 THEN 'river' WHEN k%23=1 THEN 'lake' END"
+SQL_NAME = "CASE WHEN k%5=0 THEN NULL ELSE 'N' || CAST(k%50 AS VARCHAR) END"
+SQL_BRIDGE = "CASE WHEN k%17=0 THEN 'yes' END"
+SQL_TUNNEL = "CASE WHEN k%19=0 THEN 'culvert' END"
+
+SQL_TAGS_CTE = f"""
+tags AS (
+  SELECT k,
+         {SQL_WW} AS ww,
+         {SQL_NATURAL} AS natural_t,
+         {SQL_LANDUSE} AS landuse,
+         {SQL_WATER} AS water,
+         {SQL_NAME} AS name,
+         {SQL_BRIDGE} AS bridge,
+         {SQL_TUNNEL} AS tunnel
+  FROM (SELECT o_orderkey AS k FROM orders)
+)
+"""
+
+# reference predicate semantics restated in SQL (independent formulation)
+SQL_IS_WW_WAY = (
+    "CASE WHEN ww = 'riverbank' THEN FALSE "
+    "WHEN ww IS NOT NULL THEN TRUE "
+    "WHEN natural_t = 'coastline' THEN TRUE ELSE FALSE END"
+)
+SQL_WAY_TYPE = (
+    "CASE WHEN ww IS NULL THEN (CASE WHEN natural_t='coastline' THEN 'coastline' ELSE '' END) "
+    "WHEN ww IN ('river','stream','drain','brook','canal','ditch','riverbank') THEN ww "
+    "ELSE 'other' END"
+)
+SQL_POLY_TYPE = (
+    "CASE WHEN natural_t = 'coastline' THEN 'coastline' "
+    "WHEN ww IS NULL THEN coalesce(landuse, '') "
+    "ELSE '' END"
+)
+SQL_CATEGORY = (
+    "CASE WHEN way_type IN ('drain','brook','ditch') THEN 'A' "
+    "WHEN way_type = 'stream' THEN 'B' WHEN way_type = 'river' THEN 'C' ELSE '?' END"
+)
+
+Z_TILE = 6
+RES_CELL = 7
+
+
+def _ways_geo(spark: SparkSession, sf_dir: str, ncust: int):
+    """Spark: the derived ways table (id, node_ids, tags)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    nlen = (k % 4 + 3).cast("int")
+    node_ids = F.transform(
+        F.sequence(F.lit(0), nlen - 1), lambda i: (k * 13 + i * 7) % ncust
+    )
+    return orders.select(
+        k.alias("id"),
+        node_ids.alias("node_ids"),
+        _tags_from_key(k).alias("tags"),
+    )
+
+
+SQL_WAYS_GEO = """
+ways_geo AS (
+  SELECT o_orderkey AS id,
+         (o_orderkey % 4 + 3) AS nlen
+  FROM orders
+)
+"""
+
+
+def _nodes_geo(spark: SparkSession, sf_dir: str):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col("c_custkey")
+    # coprime multipliers spread any key range across the full grid, so the
+    # derivation overlaps the polygon grid at every scale factor
+    return cust.select(
+        c.alias("node_id"),
+        (((c * 97) % 3500) / 10.0 - 174.95).alias("lon"),
+        (((c * 211) % 1600) / 10.0 - 79.95).alias("lat"),
+    )
+
+
+SQL_NODES_GEO = """
+nodes_geo AS (
+  SELECT c_custkey AS node_id,
+         ((c_custkey * 97) % 3500) / 10.0 - 174.95 AS lon,
+         ((c_custkey * 211) % 1600) / 10.0 - 79.95 AS lat
+  FROM customer
+)
+"""
+
+
+def _ncust(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+
+# ---------------- tag/scalar queries ----------------
+
+
+def q_f1_is_waterway_way(spark, sf_dir):
+    df = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    return df.select(
+        F.col("id").alias("way_id"),
+        TG.is_waterway(F.col("tags"), False).alias("is_ww"),
+    )
+
+
+SQL_F1_WAY = f"""
+WITH {SQL_TAGS_CTE.strip()}
+SELECT k AS way_id, {SQL_IS_WW_WAY} AS is_ww FROM tags
+"""
+
+
+def q_f1_is_waterway_relation(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    typ = F.when(k % 4 == 0, F.lit("waterway")).when(k % 4 == 1, F.lit("multipolygon"))
+    ww = F.when(k % 6 == 0, F.lit("river")).when(k % 6 == 1, F.lit("riverbank"))
+    m = F.map_filter(
+        F.create_map(F.lit("type"), typ, F.lit("waterway"), ww),
+        lambda _, v: v.isNotNull(),
+    )
+    return sup.select(k.alias("relation_id"), TG.is_waterway(m, True).alias("is_ww"))
+
+
+SQL_F1_REL = """
+SELECT s_suppkey AS relation_id,
+  CASE WHEN s_suppkey%4=1 THEN FALSE  -- type=multipolygon
+       WHEN s_suppkey%6=1 THEN FALSE  -- waterway=riverbank
+       WHEN s_suppkey%4=0 THEN TRUE   -- type=waterway
+       WHEN s_suppkey%6=0 THEN TRUE   -- any waterway
+       ELSE FALSE END AS is_ww
+FROM supplier
+"""
+
+
+def q_f_flags(spark, sf_dir):
+    df = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    t = F.col("tags")
+    return df.select(
+        F.col("id").alias("way_id"),
+        TG.is_way_to_analyse(t).alias("to_analyse"),
+        TG.is_area_to_analyse(t).alias("area_analyse"),
+        TG.is_riverbank_or_coastline(t).alias("rb_or_coast"),
+        TG.is_water_area(t).alias("water_area"),
+        TG.waterpolygon_filter(t).alias("poly_filter"),
+        TG.has_waterway_tag(t).alias("has_ww"),
+    )
+
+
+SQL_F_FLAGS = f"""
+WITH {SQL_TAGS_CTE.strip()}
+SELECT k AS way_id,
+  coalesce(ww IS NOT NULL OR natural_t IN ('coastline','water')
+     OR landuse IN ('reservoir','basin'), FALSE) AS to_analyse,
+  (coalesce(ww NOT IN ('river','drain','stream','canal','ditch','riverbank'), TRUE)
+     AND coalesce(water NOT IN ('river','drain','stream','canal','ditch','riverbank'), TRUE)) AS area_analyse,
+  coalesce(ww = 'riverbank' OR natural_t = 'coastline', FALSE) AS rb_or_coast,
+  coalesce(natural_t = 'water' OR landuse IN ('reservoir','basin') OR ww IS NOT NULL, FALSE) AS water_area,
+  coalesce(natural_t = 'water' OR ww IS NOT NULL OR landuse IN ('reservoir','basin'), FALSE) AS poly_filter,
+  (ww IS NOT NULL) AS has_ww
+FROM tags
+"""
+
+
+def q_p_projections(spark, sf_dir):
+    df = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    t = F.col("tags")
+    wt = TG.get_way_type(t)
+    return df.select(
+        F.col("id").alias("way_id"),
+        wt.alias("way_type"),
+        TG.get_polygon_type(t).alias("polygon_type"),
+        TG.get_waterway_category(wt).alias("category"),
+        TG.get_construction(t).alias("construction"),
+        TG.name_or_empty(t).alias("name"),
+        TG.get_width_tag(t).alias("width_tag"),
+    )
+
+
+SQL_P_PROJECTIONS = f"""
+WITH {SQL_TAGS_CTE.strip()},
+typed AS (
+  SELECT k, ww, natural_t, landuse, name, bridge, tunnel, {SQL_WAY_TYPE} AS way_type,
+         {SQL_POLY_TYPE} AS polygon_type
+  FROM tags)
+SELECT k AS way_id, way_type, polygon_type,
+  {SQL_CATEGORY} AS category,
+  CASE WHEN bridge IS NOT NULL THEN 'bridge' WHEN tunnel IS NOT NULL THEN 'tunnel' ELSE '' END AS construction,
+  coalesce(name, '') AS name,
+  coalesce(CASE WHEN k%14 <= 12 THEN (['3','3,5','5 km','2 mi','6''7"','abc','','30"','1 nmi','4.2','0,8 m','12''','7 m'])[k%14+1] END,
+           CASE WHEN k%3=0 THEN '7' END) AS width_tag
+FROM typed
+"""
+
+
+def q_p6_width(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    raw = F.element_at(
+        F.array(*[F.lit(w).cast("string") for w in WIDTH_LIST]), (k % 14 + 1).cast("int")
+    )
+    return part.select(k.alias("part_id"), width_struct(raw).alias("w")).select(
+        "part_id",
+        F.col("w.width").cast("double").alias("width"),
+        F.col("w.width_error").alias("width_error"),
+    )
+
+
+def _sql_width_cases() -> str:
+    whens = []
+    for i, (wv, we) in enumerate(WIDTH_EXPECT):
+        whens.append(f"WHEN {i} THEN CAST({wv!r} AS DOUBLE)")
+    werr = [f"WHEN {i} THEN {'TRUE' if we else 'FALSE'}" for i, (_, we) in enumerate(WIDTH_EXPECT)]
+    return f"""
+SELECT p_partkey AS part_id,
+  CAST(CAST(CASE p_partkey%14 {' '.join(whens)} END AS REAL) AS DOUBLE) AS width,
+  CASE p_partkey%14 {' '.join(werr)} END AS width_error
+FROM part
+"""
+
+
+SQL_P6_WIDTH = _sql_width_cases()
+
+
+def q_p8_lastchange(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id"), TG.format_lastchange(F.col("ts")).alias("lastchange")
+    )
+
+
+SQL_P8 = "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS lastchange FROM events"
+
+
+# ---------------- core relational / spatial queries ----------------
+
+
+def q_j1_locate(spark, sf_dir):
+    """J1 — explode+equi-join node location resolution."""
+    nc = _ncust(spark, sf_dir)
+    ways = _ways_geo(spark, sf_dir, nc)
+    nodes = _nodes_geo(spark, sf_dir)
+    ex = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "node_id"))
+    return ex.join(nodes, "node_id", "inner").select("way_id", "pos", "node_id", "lon", "lat")
+
+
+SQL_J1 = f"""
+WITH {SQL_NODES_GEO.strip()}
+SELECT o_orderkey AS way_id, CAST(i AS INT) AS pos,
+       (o_orderkey*13 + i*7) % (SELECT count(*) FROM customer) AS node_id,
+       n.lon, n.lat
+FROM orders, range(0, 7) t(i), nodes_geo n
+WHERE i < o_orderkey % 4 + 3
+  AND n.node_id = (o_orderkey*13 + i*7) % (SELECT count(*) FROM customer)
+"""
+
+
+def _remembered_geo(spark, sf_dir, nc):
+    """The connectivity input derived from orders (way endpoints)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    return orders.select(
+        ((k * 13) % nc).alias("first_node"),
+        ((k * 17) % nc).alias("last_node"),
+        F.when(k % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("N"), (k % 50).cast("string"))
+        ).alias("name"),
+        F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("?")), (k % 4 + 1).cast("int")).alias("category"),
+    )
+
+
+def q_j3_connectivity(spark, sf_dir):
+    """J3/A1-A5 — the heart of the reference: per-node counts + error mask."""
+    from osmi_water_spark.operators.connectivity import error_mask, node_stats
+
+    rem = _remembered_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    stats = node_stats(rem)
+    masks = error_mask(stats)
+    return stats.join(masks, "node_id").select(
+        "node_id", "count_first", "count_last", "mask"
+    )
+
+
+SQL_J3 = """
+WITH w AS (
+  SELECT (o_orderkey*13) % (SELECT count(*) FROM customer) AS first_node,
+         (o_orderkey*17) % (SELECT count(*) FROM customer) AS last_node,
+         CASE WHEN o_orderkey%5=0 THEN '' ELSE 'N' || CAST(o_orderkey%50 AS VARCHAR) END AS name,
+         (['A','B','C','?'])[o_orderkey%4+1] AS category
+  FROM orders),
+entries AS (
+  SELECT first_node AS node_id, first_node, last_node, name, category FROM w
+  UNION ALL
+  SELECT last_node AS node_id, first_node, last_node, name, category FROM w),
+scored AS (
+  SELECT node_id,
+         CASE WHEN node_id = first_node THEN 1 ELSE 0 END AS cf,
+         CASE WHEN node_id = last_node THEN 1 ELSE 0 END AS cl,
+         name, category
+  FROM entries),
+agg AS (
+  SELECT node_id, sum(cf) AS count_first, sum(cl) AS count_last,
+         sum(cf) + sum(cl) AS n_names,
+         count(DISTINCT name) AS ndn,
+         max(CASE WHEN cl = 1 THEN category END) AS max_in,
+         max(CASE WHEN cf = 1 THEN category END) AS max_out
+  FROM scored GROUP BY node_id)
+SELECT node_id, CAST(count_first AS BIGINT) AS count_first,
+  CAST(count_last AS BIGINT) AS count_last,
+  CASE WHEN count_last = 1 AND count_first = 0 AND max_in = 'C' THEN 1152
+       WHEN count_last = 1 AND count_first = 0 AND max_in = 'B' THEN 640
+       WHEN count_first = 1 AND count_last = 0 AND max_out = 'C' THEN 1280
+       WHEN count_first = 1 AND count_last = 0 AND max_out = 'B' THEN 768
+       ELSE (CASE WHEN abs(count_first - count_last) > 1
+                   AND (count_first = 0 OR count_last = 0) THEN 1 ELSE 0 END)
+          + (CASE WHEN n_names = 2 AND ndn > 1 THEN 2 ELSE 0 END)
+          + (CASE WHEN count_first > 0 AND count_last > 0 AND max_in = 'C'
+                   AND max_out < 'C' AND max_out <> '?' THEN 4 ELSE 0 END)
+  END AS mask
+FROM agg
+"""
+
+
+def q_e2_finalize(spark, sf_dir):
+    """E1/E2/O4 — switch_poss + node output columns on synthetic masks."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    mask = (F.col("p_partkey") % 4096).alias("mask")
+    df = part.select(F.col("p_partkey").alias("id"), mask)
+    final = E.switch_poss(F.col("mask")).alias("final_mask")
+    out = df.select("id", "mask", final)
+    cols = E.node_output_columns(F.col("final_mask"))
+    return out.select("id", "mask", "final_mask", *[v.alias(k) for k, v in cols.items()])
+
+
+SQL_E2 = """
+WITH m AS (SELECT p_partkey AS id, p_partkey % 4096 AS mask FROM part),
+f AS (
+  SELECT id, mask,
+    CASE WHEN (mask & 1024) <> 0 AND (mask & 128) <> 0 THEN mask - 128 + 16
+         WHEN (mask & 1024) <> 0 AND (mask & 256) <> 0 THEN mask - 256 + 8
+         ELSE mask END AS final_mask
+  FROM m)
+SELECT id, mask, final_mask,
+  CASE WHEN (final_mask & 32) <> 0 THEN 'rivermouth'
+       WHEN (final_mask & 64) <> 0 THEN 'outflow' ELSE '' END AS specific,
+  CASE WHEN (final_mask & 1) <> 0 THEN 'true' ELSE 'false' END AS direction_error,
+  CASE WHEN (final_mask & 2) <> 0 THEN 'true' ELSE 'false' END AS name_error,
+  CASE WHEN (final_mask & 4) <> 0 THEN 'true' ELSE 'false' END AS type_error,
+  CASE WHEN (final_mask & 8) <> 0 THEN 'true' ELSE 'false' END AS spring_error,
+  CASE WHEN (final_mask & 16) <> 0 THEN 'true' ELSE 'false' END AS end_error,
+  CASE WHEN (final_mask & 2048) <> 0 THEN 'true' ELSE 'false' END AS way_error
+FROM f
+"""
+
+
+def q_j4_hits(spark, sf_dir):
+    """J4 — pass-3 interior-node hit counting over derived analysable ways."""
+    from osmi_water_spark.operators.false_positives import pass3_hits
+
+    ways = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    return pass3_hits(ways.select("id", "node_ids", "tags"))
+
+
+SQL_J4 = """
+WITH raw AS (
+  SELECT o_orderkey AS k, o_orderkey % 4 + 3 AS nlen FROM orders),
+flags AS (
+  SELECT k, nlen,
+    (k%9 < 8 OR k%7 IN (0,1) OR k%11 IN (0,1)) AS analysable,
+    (k%9 = 6 OR k%7 = 0) AS all_nodes
+  FROM raw)
+SELECT (k*13 + i*7) % (SELECT count(*) FROM customer) AS node_id, count(*) AS hits
+FROM flags, range(0, 7) t(i)
+WHERE i < nlen AND analysable
+  AND (all_nodes OR (nlen > 2 AND i >= 1 AND i <= nlen - 2))
+GROUP BY 1
+"""
+
+
+def _rects(spark, sf_dir):
+    """Polygon side for PIP: one rectangle per nation (0.025-offset grid)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey")
+    return nation.select(
+        n.alias("poly_id"),
+        (((n * 29) % 300) - 150 + 0.025).alias("x0"),
+        (((n * 31) % 140) - 70 + 0.025).alias("y0"),
+    ).select(
+        "poly_id", "x0", "y0",
+        (F.col("x0") + 12.3).alias("x1"), (F.col("y0") + 9.7).alias("y1"),
+    )
+
+
+SQL_RECTS = """
+rects AS (
+  SELECT n_nationkey AS poly_id,
+         ((n_nationkey*29) % 300) - 150 + 0.025 AS x0,
+         ((n_nationkey*31) % 140) - 70 + 0.025 AS y0,
+         ((n_nationkey*29) % 300) - 150 + 0.025 + 12.3 AS x1,
+         ((n_nationkey*31) % 140) - 70 + 0.025 + 9.7 AS y1
+  FROM nation)
+"""
+
+
+def _pip_query(spark, sf_dir, salt: int):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from osmi_water_spark.functions import wkb as W
+    from osmi_water_spark.operators.spatial_join import pip_join
+
+    def _rect_wkb(x0, y0, x1, y1):
+        return pd.Series(
+            [
+                W.wkb_polygon([np.array([[a, b], [c, b], [c, d], [a, d], [a, b]])])
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    rect_wkb = pandas_udf(_rect_wkb, T.BinaryType())
+
+    rects = _rects(spark, sf_dir)
+    parts = rects.select(
+        F.col("poly_id").cast("string").alias("area_key"),
+        rect_wkb("x0", "y0", "x1", "y1").alias("part_wkb"),
+        F.col("x0").alias("minx"), F.col("y0").alias("miny"),
+        F.col("x1").alias("maxx"), F.col("y1").alias("maxy"),
+    )
+    points = _nodes_geo(spark, sf_dir).select(
+        F.col("node_id").alias("point_id"), "lon", "lat"
+    )
+    pairs = pip_join(points, parts, salt=salt)
+    return pairs.select(
+        "point_id", F.col("area_key").cast("long").alias("poly_id")
+    )
+
+
+def q_j5_pip(spark, sf_dir):
+    """J5 — the cell-indexed PIP join (full engine machinery vs range oracle)."""
+    return _pip_query(spark, sf_dir, salt=1)
+
+
+def q_j5_pip_salted(spark, sf_dir):
+    """J5 with deterministic 8-way salting — result must be identical."""
+    return _pip_query(spark, sf_dir, salt=8)
+
+
+SQL_J5 = f"""
+WITH {SQL_NODES_GEO.strip()},
+{SQL_RECTS.strip()}
+SELECT n.node_id AS point_id, r.poly_id
+FROM nodes_geo n JOIN rects r
+  ON n.lon > r.x0 AND n.lon < r.x1 AND n.lat > r.y0 AND n.lat < r.y1
+"""
+
+
+def q_j6_knn(spark, sf_dir):
+    """J6 — exact kNN: first 200 customers vs supplier points, k=3."""
+    from osmi_water_spark.operators.knn import knn_join_exact
+
+    pts = _nodes_geo(spark, sf_dir).filter(F.col("node_id") < 200).select(
+        F.col("node_id").alias("point_id"), "lon", "lat"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = F.col("s_suppkey")
+    nbr = sup.select(
+        s.alias("neighbor_id"),
+        (((s * 37) % 3500) / 10.0 - 174.925).alias("lon"),
+        (((s * 11) % 1600) / 10.0 - 79.925).alias("lat"),
+    )
+    return knn_join_exact(pts, nbr, k=3).select("point_id", "rank", "neighbor_id")
+
+
+SQL_J6 = f"""
+WITH {SQL_NODES_GEO.strip()},
+nbr AS (
+  SELECT s_suppkey AS neighbor_id,
+         ((s_suppkey*37) % 3500) / 10.0 - 174.925 AS nlon,
+         ((s_suppkey*11) % 1600) / 10.0 - 79.925 AS nlat
+  FROM supplier),
+scored AS (
+  SELECT n.node_id AS point_id, b.neighbor_id,
+         (n.lon - b.nlon) * (n.lon - b.nlon) + (n.lat - b.nlat) * (n.lat - b.nlat) AS dist2
+  FROM nodes_geo n, nbr b WHERE n.node_id < 200),
+ranked AS (
+  SELECT point_id, neighbor_id,
+         row_number() OVER (PARTITION BY point_id ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT point_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
+
+def q_tiles(spark, sf_dir):
+    """Raster/vector assignment: z/x/y tile id + grid cell id per point."""
+    pts = _nodes_geo(spark, sf_dir)
+    return pts.select(
+        "node_id",
+        C.tile_id(F.col("lon"), F.col("lat"), Z_TILE).alias("tile_id"),
+        C.cell_of(F.col("lon"), F.col("lat"), RES_CELL).alias("cell_id"),
+    )
+
+
+SQL_TILES = f"""
+WITH {SQL_NODES_GEO.strip()},
+t AS (
+  SELECT node_id, lon, lat,
+    greatest(0, least({(1 << Z_TILE) - 1},
+      CAST(floor((lon + 180.0) / 360.0 * {float(1 << Z_TILE)}) AS BIGINT))) AS tx,
+    greatest(0, least({(1 << Z_TILE) - 1},
+      CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi())
+           / 2.0 * {float(1 << Z_TILE)}) AS BIGINT))) AS ty,
+    greatest(0, least({(1 << RES_CELL) - 1},
+      CAST(floor((lon + 180.0) / 360.0 * {float(1 << RES_CELL)}) AS BIGINT))) AS cx,
+    greatest(0, least({(1 << RES_CELL) - 1},
+      CAST(floor((lat + 90.0) / 180.0 * {float(1 << RES_CELL)}) AS BIGINT))) AS cy
+  FROM nodes_geo)
+SELECT node_id,
+  {Z_TILE} * 288230376151711744 + ty * 536870912 + tx AS tile_id,
+  {RES_CELL} * 288230376151711744 + cy * 536870912 + cx AS cell_id
+FROM t
+"""
+
+
+MAP_LAYERS = [
+    ("waterways_width_error", "width_error = 'true'"),
+    ("waterways_in_tunnels", "construction = 'tunnel'"),
+    ("waterways_on_bridges", "construction = 'bridge'"),
+    ("ways_drain", "way_type IN ('drain','ditch')"),
+    ("ways_canal", "way_type = 'canal'"),
+    ("ways_stream", "way_type = 'stream'"),
+    ("ways_river", "way_type = 'river'"),
+    ("ways_riverbank", "way_type = 'riverbank'"),
+    ("ways_other", "way_type = 'other'"),
+    ("waterways_without_names", "name = '' AND way_type IN ('river','stream','canal')"),
+]
+
+
+def q_map_layers(spark, sf_dir):
+    """§2.9 — the 26 mapserver layer filters as per-layer counts over the
+    derived ways table (the de-facto downstream query workload)."""
+    df = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    t = F.col("tags")
+    wd = width_struct(TG.get_width_tag(t)).alias("wd")
+    base = df.select(
+        TG.get_way_type(t).alias("way_type"),
+        TG.name_or_empty(t).alias("name"),
+        TG.get_construction(t).alias("construction"),
+        wd,
+    ).select(
+        "way_type", "name", "construction",
+        F.when(F.col("wd.width_error"), "true").otherwise("false").alias("width_error"),
+    )
+    base = base.cache()
+    outs = None
+    for layer, cond in MAP_LAYERS:
+        cnt = base.filter(F.expr(cond)).agg(
+            F.lit(layer).alias("layer"), F.count("*").alias("n")
+        )
+        outs = cnt if outs is None else outs.unionByName(cnt)
+    return outs
+
+
+def _sql_map_layers() -> str:
+    # width_error is fully determined by k%14 (est_width fallback '7' parses
+    # clean, so the k%14==13 row is false either way)
+    werr = " ".join(
+        f"WHEN {i} THEN 'true'" for i, (_, we) in enumerate(WIDTH_EXPECT) if we
+    )
+    selects = [
+        f"SELECT '{layer}' AS layer, count(*) FILTER (WHERE {cond}) AS n FROM typed"
+        for layer, cond in MAP_LAYERS
+    ]
+    return f"""
+WITH {SQL_TAGS_CTE.strip()},
+typed AS (
+  SELECT k, {SQL_WAY_TYPE} AS way_type, coalesce(name,'') AS name,
+    CASE WHEN bridge IS NOT NULL THEN 'bridge' WHEN tunnel IS NOT NULL THEN 'tunnel' ELSE '' END AS construction,
+    CASE k%14 {werr} ELSE 'false' END AS width_error
+  FROM tags)
+{' UNION ALL '.join(selects)}
+"""
+
+
+SQL_MAP_LAYERS = _sql_map_layers()
+
+
+# ---------------- training-data queries (documents / embeddings) ----------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from osmi_water_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    from osmi_water_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs)
+
+
+SQL_TEXT_STATS = """
+WITH s AS (
+  SELECT doc_id, text,
+    length(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(replace(replace(replace(replace(replace(replace(text,
+        '.',''), ',',''), '!',''), '?',''), ';',''), ':','')) AS n_punct,
+    CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS en_stopwords,
+    CAST((length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' die ', ''))) / 5 AS BIGINT) AS de_stopwords
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars, n_punct, en_stopwords,
+  greatest(0, least(100, CAST(floor(50 + least(20, n_tokens / 10)
+      + least(20, en_stopwords * 2)
+      - least(30, n_punct * 100 / greatest(n_chars, 1))) AS BIGINT))) AS quality,
+  CASE WHEN en_stopwords = 0 AND de_stopwords = 0 THEN 'unknown'
+       WHEN de_stopwords > en_stopwords THEN 'de' ELSE 'en' END AS lang_guess,
+  substring(md5(lower(trim(text))), 1, 16) AS fp
+FROM s
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from osmi_water_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = cosine_topk_bruteforce(emb, queries, k=5)
+    return got.select("query_id", "rank", "neighbor_id")
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.embedding)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------- rows-only queries (non-SQL-expressible) ----------------
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH near-dup pairs over documents (seeded hashing — no SQL
+    oracle; driver records rows-only)."""
+    from osmi_water_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from osmi_water_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from osmi_water_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.25)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from osmi_water_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+
+
+def q_pipeline_nodes(spark, sf_dir):
+    """The full waterway pipeline end-to-end on deterministic synthetic pages
+    (pass-to-pass state machine is non-SQL-expressible; golden-checked by
+    the pytest oracle instead)."""
+    from osmi_water_spark.plans.pipeline import run_pipeline
+    from osmi_water_spark.sources.pages_gen import pages_dataframe, scale_pages_rows
+
+    pages = pages_dataframe(spark, scale_pages_rows(40))
+    out = run_pipeline(spark, pages, out_dir=None, with_lineage=False)
+    return out["nodes"].select(
+        "node_id", "specific", "direction_error", "name_error", "type_error",
+        "spring_error", "end_error", "way_error", "h3_cell",
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from osmi_water_spark.operators.multimodal import fake_features, synth_media
+
+    media = synth_media(spark, 200)
+    return fake_features(media).select("media_id", "media_type", "n_bytes")
+
+
+# ---------------- registry ----------------
+
+QUERIES = {
+    "f1_is_waterway_way": q_f1_is_waterway_way,
+    "f1_is_waterway_relation": q_f1_is_waterway_relation,
+    "f_flags": q_f_flags,
+    "p_projections": q_p_projections,
+    "p6_width": q_p6_width,
+    "p8_lastchange": q_p8_lastchange,
+    "j1_locate": q_j1_locate,
+    "j3_connectivity": q_j3_connectivity,
+    "e2_finalize": q_e2_finalize,
+    "j4_hits": q_j4_hits,
+    "j5_pip": q_j5_pip,
+    "j5_pip_salted": q_j5_pip_salted,
+    "j6_knn": q_j6_knn,
+    "tiles": q_tiles,
+    "map_layers": q_map_layers,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    # rows-only (no SQL oracle)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_ivf": q_ann_ivf,
+    "pipeline_nodes": q_pipeline_nodes,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "f1_is_waterway_way": SQL_F1_WAY,
+    "f1_is_waterway_relation": SQL_F1_REL,
+    "f_flags": SQL_F_FLAGS,
+    "p_projections": SQL_P_PROJECTIONS,
+    "p6_width": SQL_P6_WIDTH,
+    "p8_lastchange": SQL_P8,
+    "j1_locate": SQL_J1,
+    "j3_connectivity": SQL_J3,
+    "e2_finalize": SQL_E2,
+    "j4_hits": SQL_J4,
+    "j5_pip": SQL_J5,
+    "j5_pip_salted": SQL_J5,
+    "j6_knn": SQL_J6,
+    "tiles": SQL_TILES,
+    "map_layers": SQL_MAP_LAYERS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_cosine_topk": SQL_ANN,
+}

@@ -306,12 +306,10 @@ def pages_rows(names: list[str] | None = None) -> list[dict]:
     return rows
 
 
-def scale_entities(n_chains: int, world_index: int = 18) -> list[dict]:
-    """w18_scale — parameterized generator for bench/differential runs:
-    n_chains copies of a composite pattern (chain + confluence + lake PIP),
-    ~8 pages per chain, deterministic ids."""
+def chain_entities(c: int, world_index: int = 18) -> list[dict]:
+    """One w18_scale chain (16 entities): chain + confluence + lake PIP."""
     E: list[dict] = []
-    for c in range(n_chains):
+    if True:
         base = world_index * 100_000 + c * 100
         nn = lambda k: base + k  # noqa: E731
         lon0 = -170.0 + (c % 3200) * 0.1
@@ -334,6 +332,14 @@ def scale_entities(n_chains: int, world_index: int = 18) -> list[dict]:
     return E
 
 
+def scale_entities(n_chains: int, world_index: int = 18) -> list[dict]:
+    """n_chains copies of the composite pattern, deterministic ids."""
+    E: list[dict] = []
+    for c in range(n_chains):
+        E.extend(chain_entities(c, world_index))
+    return E
+
+
 def scale_pages_rows(n_chains: int) -> list[dict]:
     return [render_page("w18_scale", e) for e in scale_entities(n_chains)]
 
@@ -344,3 +350,27 @@ def pages_dataframe(spark, rows: list[dict]):
 
     data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
     return spark.createDataFrame(data, PAGES)
+
+
+def scale_pages_df(spark, n_chains: int, partitions: int | None = None):
+    """Distributed page generation: chain indices -> pages rendered on the
+    executors (mapInPandas), so bench inputs scale without a driver
+    bottleneck — the same shape a real ingest of 10^12 pages would have."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    rng = spark.range(0, n_chains, 1, min(parts, max(1, n_chains)))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                rows.extend(render_page("w18_scale", e) for e in chain_entities(int(c)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    from osmi_water_spark.schemas import PAGES
+
+    return rng.mapInPandas(gen, PAGES)
