@@ -71,6 +71,13 @@ def main() -> None:
     timed("pipeline", run_pipe)
     docs_per_sec = round(n_pages / times["pipeline"], 1)
 
+    if os.environ.get("SPARK_GRAFT_ONLY") == "pipeline":
+        print(json.dumps({"metric": "pipeline_docs_per_sec", "value": docs_per_sec,
+                          "unit": "sec", "queries": times, "sf": sf,
+                          "pages": n_pages, "cpus": cpus}))
+        spark.stop()
+        return
+
     # ---- secondary operator timings over the sf tables ----
     timed("pip_join", lambda: Q.q_j5_pip(spark, sf_dir).count())
     timed("pip_join_salted", lambda: Q.q_j5_pip_salted(spark, sf_dir).count())

@@ -67,14 +67,15 @@ def apply_pass3(candidates: DataFrame, ways: DataFrame) -> DataFrame:
 
 
 def apply_pass4(
-    after3: DataFrame, locations: DataFrame, polygon_parts: DataFrame, salt: int = 1
+    after3: DataFrame, locations: DataFrame, polygon_parts: DataFrame, salt: int = 1,
+    res_list: list[int] | None = None,
 ) -> DataFrame:
     """Remaining candidates x polygon index -> + mask4, emitted4."""
     remaining = after3.filter(~F.col("emitted3"))
     pts = remaining.join(locations, "node_id", "inner").select(
         F.col("node_id").alias("point_id"), "lon", "lat"
     )
-    contained = pip_exists(pts, polygon_parts, salt=salt).withColumnRenamed(
+    contained = pip_exists(pts, polygon_parts, salt=salt, res_list=res_list).withColumnRenamed(
         "point_id", "node_id"
     ).withColumn("contained", F.lit(True))
     r = remaining.join(contained, "node_id", "left").withColumn(

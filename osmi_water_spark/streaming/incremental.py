@@ -1,0 +1,63 @@
+"""Structured-Streaming ingest: incremental extraction over an arriving
+``pages`` directory.
+
+The reference is a bounded 3-pass batch job with no streaming semantics
+(SURVEY.md §2.10), so the engine's core stays batch; this module covers
+the *ingest* half of a production deployment — new page files land in an
+object store, extraction keeps up incrementally, and the batch pipeline
+(or its resume path) runs over the growing entities table. Exactly the
+"batch-incremental" design BASELINE.json:14 asks for, expressed with
+``readStream`` -> the same Arrow extraction -> ``writeStream`` with
+checkpointing (restart-safe, exactly-once per file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from osmi_water_spark.operators.extract import EXTRACT_SCHEMA, _extract_batches
+from osmi_water_spark.schemas import PAGES
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental pages -> entities: one streaming query, file-source
+    exactly-once, partitioned by entity kind for downstream pruning."""
+    pages = spark.readStream.schema(PAGES).parquet(pages_dir)
+    entities = pages.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    writer = (
+        entities.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("kind")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_text_quality(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Windowed quality monitoring over the page stream: late data bounded
+    by the watermark, counts per (window, lang, quality bucket). Returns
+    the streaming DataFrame (caller attaches a sink)."""
+    from osmi_water_spark.operators.text import quality_score
+
+    pages = spark.readStream.schema(PAGES).parquet(pages_dir)
+    scored = pages.withWatermark("warc_ts", watermark).select(
+        "warc_ts", "lang", (quality_score(F.col("text")) / 10).cast("int").alias("q_bucket")
+    )
+    return scored.groupBy(F.window("warc_ts", window), "lang", "q_bucket").count()

@@ -1,0 +1,77 @@
+"""Differential + resume tests (SURVEY.md §5.4/§5.5): results must be
+invariant to input partitioning / parallelism, and checkpoint resume must
+reproduce identical outputs after losing downstream stages."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from osmi_water_spark.plans.pipeline import run_pipeline
+from osmi_water_spark.sources import pages_gen as PG
+
+
+def _nodes_key(out):
+    return sorted(
+        (r.node_id, r.specific, r.direction_error, r.name_error, r.type_error,
+         r.spring_error, r.end_error, r.way_error)
+        for r in out["nodes"].collect()
+    )
+
+
+def _ways_key(out):
+    return sorted(
+        (r.way_id, r.relation_id, r.type, r.name, r.width_error) for r in out["ways"].collect()
+    )
+
+
+def test_partitioning_invariance(spark):
+    """Same pages in 1 partition vs 16 partitions -> identical outputs
+    (order-independence of every aggregate/join in the pipeline)."""
+    rows = PG.pages_rows()
+    base = PG.pages_dataframe(spark, rows)
+    out1 = run_pipeline(spark, base.repartition(1), out_dir=None, with_lineage=False)
+    out16 = run_pipeline(spark, base.repartition(16), out_dir=None, with_lineage=False)
+    assert _nodes_key(out1) == _nodes_key(out16)
+    assert _ways_key(out1) == _ways_key(out16)
+
+
+def test_salt_invariance(spark):
+    """PIP salting changes the physical plan, never the result."""
+    base = PG.pages_dataframe(spark, PG.pages_rows(["w17_skew", "w06_rivermouth_pip"]))
+    out1 = run_pipeline(spark, base, out_dir=None, salt=1, with_lineage=False)
+    out8 = run_pipeline(spark, base, out_dir=None, salt=8, with_lineage=False)
+    assert _nodes_key(out1) == _nodes_key(out8)
+
+
+def test_resume_after_partial_loss(spark, tmp_path):
+    """Kill-after-stage-k simulation: full run, delete downstream outputs,
+    re-run with resume=True -> identical final tables; upstream checkpoints
+    must NOT recompute (verified via unchanged file mtimes)."""
+    import os
+
+    out_dir = str(tmp_path / "ckpt")
+    pages = PG.pages_dataframe(spark, PG.pages_rows(["w01_chain", "w06_rivermouth_pip", "w10_relation"]))
+    first = run_pipeline(spark, pages, out_dir=out_dir, with_lineage=False)
+    want = _nodes_key(first)
+
+    entities_mtime = os.path.getmtime(f"{out_dir}/entities/_SUCCESS")
+    # simulate a failure after stage B: downstream outputs lost
+    for stage in ("ways", "relations", "polygons", "nodes", "tile_validation", "tile_assignment"):
+        shutil.rmtree(f"{out_dir}/{stage}", ignore_errors=True)
+
+    second = run_pipeline(spark, pages, out_dir=out_dir, resume=True, with_lineage=False)
+    assert _nodes_key(second) == want
+    assert os.path.getmtime(f"{out_dir}/entities/_SUCCESS") == entities_mtime
+
+
+def test_rerun_overwrite_consistency(spark, tmp_path):
+    """Stale state underneath: a non-resume re-run overwrites checkpoints
+    and still produces the same tables."""
+    out_dir = str(tmp_path / "ckpt2")
+    pages = PG.pages_dataframe(spark, PG.pages_rows(["w02_name_change"]))
+    a = run_pipeline(spark, pages, out_dir=out_dir, with_lineage=False)
+    ka = _nodes_key(a)
+    b = run_pipeline(spark, pages, out_dir=out_dir, resume=False, with_lineage=False)
+    assert _nodes_key(b) == ka
