@@ -294,6 +294,9 @@ SQL_P6_WIDTH = _sql_width_cases()
 
 
 def q_p8_lastchange(spark, sf_dir):
+    # the DuckDB oracle formats naive-UTC timestamps; pin the session TZ so
+    # the comparison is well-defined regardless of the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         F.col("event_id"), TG.format_lastchange(F.col("ts")).alias("lastchange")

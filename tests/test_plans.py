@@ -14,6 +14,14 @@ from osmi_water_spark.plans import testdata_queries as Q
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # plan-keyed CacheManager: tables cached by earlier tests would replace
+    # parquet scans with InMemoryRelation and hide the scan-level assertions
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
