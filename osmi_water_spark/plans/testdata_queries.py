@@ -598,6 +598,8 @@ FROM t
 
 
 MAP_LAYERS = [
+    ("coastline", "way_type = 'coastline'"),
+    ("waterways_width", "width > 0"),
     ("waterways_width_error", "width_error = 'true'"),
     ("waterways_in_tunnels", "construction = 'tunnel'"),
     ("waterways_on_bridges", "construction = 'bridge'"),
@@ -624,6 +626,7 @@ def q_map_layers(spark, sf_dir):
         wd,
     ).select(
         "way_type", "name", "construction",
+        F.col("wd.width").cast("double").alias("width"),
         F.when(F.col("wd.width_error"), "true").otherwise("false").alias("width_error"),
     )
     base = base.cache()
@@ -638,9 +641,14 @@ def q_map_layers(spark, sf_dir):
 
 def _sql_map_layers() -> str:
     # width_error is fully determined by k%14 (est_width fallback '7' parses
-    # clean, so the k%14==13 row is false either way)
+    # clean, so the k%14==13 row is false either way); width likewise, except
+    # k%14==13 where est_width '7' applies when k%3==0 (else NULL -> 0.0)
     werr = " ".join(
         f"WHEN {i} THEN 'true'" for i, (_, we) in enumerate(WIDTH_EXPECT) if we
+    )
+    wval = " ".join(
+        f"WHEN {i} THEN CAST(CAST(CAST({wv!r} AS DOUBLE) AS REAL) AS DOUBLE)"
+        for i, (wv, _) in enumerate(WIDTH_EXPECT[:13])
     )
     selects = [
         f"SELECT '{layer}' AS layer, count(*) FILTER (WHERE {cond}) AS n FROM typed"
@@ -651,6 +659,8 @@ WITH {SQL_TAGS_CTE.strip()},
 typed AS (
   SELECT k, {SQL_WAY_TYPE} AS way_type, coalesce(name,'') AS name,
     CASE WHEN bridge IS NOT NULL THEN 'bridge' WHEN tunnel IS NOT NULL THEN 'tunnel' ELSE '' END AS construction,
+    CASE WHEN k%14 = 13 THEN (CASE WHEN k%3 = 0 THEN CAST(CAST(CAST(7.0 AS DOUBLE) AS REAL) AS DOUBLE) ELSE 0.0 END)
+         ELSE (CASE k%14 {wval} END) END AS width,
     CASE k%14 {werr} ELSE 'false' END AS width_error
   FROM tags)
 {' UNION ALL '.join(selects)}
@@ -915,3 +925,92 @@ QUERIES["j2_members"] = q_j2_members
 QUERIES["p7_width2string"] = q_p7_width2string
 ORACLES["j2_members"] = SQL_J2
 ORACLES["p7_width2string"] = SQL_P7
+
+
+NODE_LAYERS = [
+    ("waterway_nodes", "specific = '' AND direction_error = 'false' AND name_error = 'false' "
+                       "AND type_error = 'false' AND spring_error = 'false' AND end_error = 'false' "
+                       "AND way_error = 'false'"),
+    ("rivermouths", "specific = 'rivermouth'"),
+    ("outflows", "specific = 'outflow'"),
+    ("direction_error_nodes", "direction_error = 'true'"),
+    ("name_error_nodes", "name_error = 'true'"),
+    ("type_error_nodes", "type_error = 'true'"),
+    ("spring_error_nodes", "spring_error = 'true'"),
+    ("end_error_nodes", "end_error = 'true'"),
+]
+
+
+def q_map_layers_nodes(spark, sf_dir):
+    """§2.9 node layers (map/water.map:1128-1384) over the finalized
+    error-mask output columns (derived masks, same as e2_finalize)."""
+    base = q_e2_finalize(spark, sf_dir).cache()
+    outs = None
+    for layer, cond in NODE_LAYERS:
+        cnt = base.filter(F.expr(cond)).agg(
+            F.lit(layer).alias("layer"), F.count("*").alias("n")
+        )
+        outs = cnt if outs is None else outs.unionByName(cnt)
+    return outs
+
+
+def _sql_map_layers_nodes() -> str:
+    selects = [
+        f"SELECT '{layer}' AS layer, count(*) FILTER (WHERE {cond}) AS n FROM f"
+        for layer, cond in NODE_LAYERS
+    ]
+    inner = SQL_E2.strip()
+    return f"WITH f AS ({inner})\n" + " UNION ALL ".join(selects)
+
+
+SQL_MAP_LAYERS_NODES = _sql_map_layers_nodes()
+
+POLYGON_LAYERS = [
+    # the reference quirk makes type=='riverbank' impossible (P3 returns ''
+    # for any waterway-tagged area) — the layer is empty, replicated exactly
+    ("riverbank_areas", "polygon_type = 'riverbank'"),
+    ("water_areas", "polygon_type <> 'riverbank'"),
+    ("coastline_areas", "polygon_type = 'coastline'"),
+    ("reservoir_areas", "polygon_type = 'reservoir'"),
+]
+
+
+def q_map_layers_polygons(spark, sf_dir):
+    """§2.9 polygon layers (map/water.map:66, :112) over P3-typed areas
+    gated by F7 (is_water_area), as AreaHandler does."""
+    df = _ways_geo(spark, sf_dir, _ncust(spark, sf_dir))
+    t = F.col("tags")
+    base = df.filter(TG.is_water_area(t)).select(
+        TG.get_polygon_type(t).alias("polygon_type")
+    ).cache()
+    outs = None
+    for layer, cond in POLYGON_LAYERS:
+        cnt = base.filter(F.expr(cond)).agg(
+            F.lit(layer).alias("layer"), F.count("*").alias("n")
+        )
+        outs = cnt if outs is None else outs.unionByName(cnt)
+    return outs
+
+
+def _sql_map_layers_polygons() -> str:
+    selects = [
+        f"SELECT '{layer}' AS layer, count(*) FILTER (WHERE {cond}) AS n FROM typed"
+        for layer, cond in POLYGON_LAYERS
+    ]
+    return f"""
+WITH {SQL_TAGS_CTE.strip()},
+typed AS (
+  SELECT k, {SQL_POLY_TYPE} AS polygon_type
+  FROM tags
+  WHERE coalesce(natural_t = 'water' OR landuse IN ('reservoir','basin')
+                 OR ww IS NOT NULL, FALSE))
+{' UNION ALL '.join(selects)}
+"""
+
+
+SQL_MAP_LAYERS_POLYGONS = _sql_map_layers_polygons()
+
+QUERIES["map_layers_nodes"] = q_map_layers_nodes
+QUERIES["map_layers_polygons"] = q_map_layers_polygons
+ORACLES["map_layers_nodes"] = SQL_MAP_LAYERS_NODES
+ORACLES["map_layers_polygons"] = SQL_MAP_LAYERS_POLYGONS
