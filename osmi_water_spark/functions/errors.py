@@ -32,17 +32,24 @@ def has(mask: Column, bit: int) -> Column:
 
 
 def switch_poss(mask: Column) -> Column:
-    """E2 — errorsum.hpp:132-142, applied at finalize
+    """E2 — errorsum.hpp:129-142, applied at finalize
     (datastorage.hpp:408-417): river & poss_rivermouth -> end_error;
-    river & poss_outflow -> spring_error; everything else unchanged."""
+    river & poss_outflow -> spring_error; everything else unchanged.
+    ``set_end_error``/``set_spring_error`` are idempotent (errorsum.hpp:37-43
+    adds the bit only when not already set), so a mask already carrying the
+    target bit only loses the poss bit."""
     return (
         F.when(
             has(mask, RIVER) & has(mask, POSS_RIVERMOUTH),
-            mask - POSS_RIVERMOUTH + END,
+            F.when(has(mask, END), mask - POSS_RIVERMOUTH).otherwise(
+                mask - POSS_RIVERMOUTH + END
+            ),
         )
         .when(
             has(mask, RIVER) & has(mask, POSS_OUTFLOW),
-            mask - POSS_OUTFLOW + SPRING,
+            F.when(has(mask, SPRING), mask - POSS_OUTFLOW).otherwise(
+                mask - POSS_OUTFLOW + SPRING
+            ),
         )
         .otherwise(mask)
     )

@@ -64,7 +64,11 @@ def parse_width_batch(s: pd.Series) -> pd.DataFrame:
         rest_stripped = rest.fillna("").str.lstrip()
         low = rest_stripped.str.lower()
 
-        done = ~parsed | (rest_stripped == "").to_numpy()
+        # done only when *endptr == '\0' BEFORE whitespace skipping: a
+        # residue of pure whitespace ('5 ') enters the unit branch, matches
+        # no unit, and falls to the else -> width=-1 + error
+        # (datastorage.hpp:160-187; strcasecmp("", "m") != 0).
+        done = ~parsed | (rest.fillna("") == "").to_numpy()
         m_m = parsed & (low == "m").to_numpy()
         m_km = parsed & (low == "km").to_numpy()
         m_mi = parsed & (low == "mi").to_numpy()

@@ -36,6 +36,20 @@ from osmi_water_spark.functions import wkb as W
 REFINE_SCHEMA = "point_id long, area_key string"
 REFINE_SCHEMA_LONLAT = "point_id long, area_key string, lon double, lat double"
 
+# broadcast-parts auto decision: both bounds must hold. The byte bound is
+# the one that matters at scale — 200k coastline parts can be multi-GB of
+# WKB, which would OOM the driver long before the row count trips.
+MAX_BROADCAST_PARTS = 200_000
+MAX_BROADCAST_BYTES = 128 << 20
+
+
+def should_broadcast_parts(n_parts: int, n_bytes: int,
+                           max_parts: int = MAX_BROADCAST_PARTS,
+                           max_bytes: int = MAX_BROADCAST_BYTES) -> bool:
+    """Pure decision function (unit-tested): broadcast only when the polygon
+    side is small by BOTH row count and total WKB bytes."""
+    return n_parts <= max_parts and n_bytes <= max_bytes
+
 
 def _refine_batches(
     batches: Iterator[pd.DataFrame], carry_lonlat: bool = False
@@ -120,7 +134,9 @@ def pip_join(
         res_rows = cover.select("res").distinct().collect()
         res_list = sorted({r.res for r in res_rows})
     if not res_list:
-        return spark.createDataFrame([], REFINE_SCHEMA)
+        return spark.createDataFrame(
+            [], REFINE_SCHEMA_LONLAT if carry_lonlat else REFINE_SCHEMA
+        )
 
     pts = points.select(
         "point_id",
@@ -137,7 +153,14 @@ def pip_join(
         keys = ["cell"]
 
     if broadcast_parts is None:
-        broadcast_parts = polygon_parts.count() <= 200_000
+        stats = polygon_parts.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("part_wkb")), F.lit(0)).alias("nbytes"),
+        ).collect()[0]
+        broadcast_parts = should_broadcast_parts(
+            int(stats["n"]), int(stats["nbytes"]),
+            MAX_BROADCAST_PARTS, MAX_BROADCAST_BYTES,
+        )
     schema = REFINE_SCHEMA_LONLAT if carry_lonlat else REFINE_SCHEMA
 
     # envelope check before the exact refine (cheap column filter, mirrors
@@ -147,10 +170,13 @@ def pip_join(
         & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
     )
     if broadcast_parts:
-        wkb_by_key = {
-            r["area_key"]: bytes(r["part_wkb"])
-            for r in polygon_parts.select("area_key", "part_wkb").collect()
-        }
+        # area_key -> ALL part WKBs: a multi-part area (e.g. a multipolygon
+        # with two outer rings, areahandler.hpp:48-62 indexes each part
+        # separately) emits several index rows under one key — a plain dict
+        # would keep only one part and silently drop points inside the rest.
+        wkb_by_key: dict[str, list[bytes]] = {}
+        for r in polygon_parts.select("area_key", "part_wkb").collect():
+            wkb_by_key.setdefault(r["area_key"], []).append(bytes(r["part_wkb"]))
         bc = spark.sparkContext.broadcast(wkb_by_key)
         cand = pts.join(
             cover.select(*keys, "area_key", "minx", "miny", "maxx", "maxy"), keys, "inner"
@@ -161,9 +187,35 @@ def pip_join(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                pdf = pdf[["point_id", "area_key", "lon", "lat"]].copy()
-                pdf["part_wkb"] = pdf["area_key"].map(lookup)
-                yield from _refine_batches(iter([pdf]), carry_lonlat)
+                # each row tests every part of its area, so (point, area)
+                # duplicates within the batch are redundant work
+                pdf = pdf[["point_id", "area_key", "lon", "lat"]].drop_duplicates(
+                    ["point_id", "area_key"]
+                )
+                ids = pdf["point_id"].to_numpy()
+                lon = pdf["lon"].to_numpy()
+                lat = pdf["lat"].to_numpy()
+                keys_arr = pdf["area_key"].to_numpy()
+                codes, uniques = pd.factorize(pdf["area_key"], sort=False)
+                order = np.argsort(codes, kind="stable")
+                bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+                keep = np.zeros(len(pdf), dtype=bool)
+                for c in range(len(uniques)):
+                    idx = order[bounds[c] : bounds[c + 1]]
+                    if idx.size == 0:
+                        continue
+                    pending = idx
+                    for part in lookup.get(uniques[c], ()):
+                        m = W.points_in_wkb_polygon(lon[pending], lat[pending], part)
+                        keep[pending[m]] = True
+                        pending = pending[~m]
+                        if pending.size == 0:
+                            break
+                out = {"point_id": ids[keep], "area_key": keys_arr[keep]}
+                if carry_lonlat:
+                    out["lon"] = lon[keep]
+                    out["lat"] = lat[keep]
+                yield pd.DataFrame(out)
 
         refined = cand.select("point_id", "area_key", "lon", "lat").mapInPandas(
             refine_bc, schema

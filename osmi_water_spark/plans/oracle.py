@@ -124,9 +124,14 @@ def parse_width(raw) -> tuple[float, bool]:
     if not m or not m.group(0).strip():
         return -1.0, error
     width = float(m.group(0))
-    rest = s[m.end():].lstrip()
-    if not rest:
+    rest_raw = s[m.end():]
+    if not rest_raw:
         return width, error
+    rest = rest_raw.lstrip()
+    if not rest:
+        # whitespace-only residue: the unit branch matches nothing and
+        # falls to the else (datastorage.hpp:160-187)
+        return -1.0, True
     low = rest.lower()
     if low == "m":
         return width, error

@@ -37,6 +37,13 @@ WIDTH_EXPECT = [
     (0.0, False),
 ]
 
+# p6-only extended matrix: adds the trailing-whitespace quirk (residue that
+# is pure whitespace enters the unit branch, matches no unit -> -1 + error,
+# datastorage.hpp:160-187) without disturbing the k%14 scheme shared with
+# the map-layer / projection oracles.
+WIDTH_LIST_P6 = WIDTH_LIST[:13] + ["5 ", " 2.5\t ", None]
+WIDTH_EXPECT_P6 = WIDTH_EXPECT[:13] + [(-1.0, True), (-1.0, True), (0.0, False)]
+
 WW_VALUES = ["river", "stream", "drain", "brook", "canal", "ditch", "riverbank", "weir"]
 
 
@@ -267,8 +274,9 @@ FROM typed
 def q_p6_width(spark, sf_dir):
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     k = F.col("p_partkey")
+    nw = len(WIDTH_LIST_P6)
     raw = F.element_at(
-        F.array(*[F.lit(w).cast("string") for w in WIDTH_LIST]), (k % 14 + 1).cast("int")
+        F.array(*[F.lit(w).cast("string") for w in WIDTH_LIST_P6]), (k % nw + 1).cast("int")
     )
     return part.select(k.alias("part_id"), width_struct(raw).alias("w")).select(
         "part_id",
@@ -278,14 +286,18 @@ def q_p6_width(spark, sf_dir):
 
 
 def _sql_width_cases() -> str:
+    nw = len(WIDTH_EXPECT_P6)
     whens = []
-    for i, (wv, we) in enumerate(WIDTH_EXPECT):
+    for i, (wv, we) in enumerate(WIDTH_EXPECT_P6):
         whens.append(f"WHEN {i} THEN CAST({wv!r} AS DOUBLE)")
-    werr = [f"WHEN {i} THEN {'TRUE' if we else 'FALSE'}" for i, (_, we) in enumerate(WIDTH_EXPECT)]
+    werr = [
+        f"WHEN {i} THEN {'TRUE' if we else 'FALSE'}"
+        for i, (_, we) in enumerate(WIDTH_EXPECT_P6)
+    ]
     return f"""
 SELECT p_partkey AS part_id,
-  CAST(CAST(CASE p_partkey%14 {' '.join(whens)} END AS REAL) AS DOUBLE) AS width,
-  CASE p_partkey%14 {' '.join(werr)} END AS width_error
+  CAST(CAST(CASE p_partkey%{nw} {' '.join(whens)} END AS REAL) AS DOUBLE) AS width,
+  CASE p_partkey%{nw} {' '.join(werr)} END AS width_error
 FROM part
 """
 
@@ -410,8 +422,10 @@ SQL_E2 = """
 WITH m AS (SELECT p_partkey AS id, p_partkey % 4096 AS mask FROM part),
 f AS (
   SELECT id, mask,
-    CASE WHEN (mask & 1024) <> 0 AND (mask & 128) <> 0 THEN mask - 128 + 16
-         WHEN (mask & 1024) <> 0 AND (mask & 256) <> 0 THEN mask - 256 + 8
+    CASE WHEN (mask & 1024) <> 0 AND (mask & 128) <> 0
+           THEN mask - 128 + (CASE WHEN (mask & 16) <> 0 THEN 0 ELSE 16 END)
+         WHEN (mask & 1024) <> 0 AND (mask & 256) <> 0
+           THEN mask - 256 + (CASE WHEN (mask & 8) <> 0 THEN 0 ELSE 8 END)
          ELSE mask END AS final_mask
   FROM m)
 SELECT id, mask, final_mask,

@@ -33,6 +33,12 @@ CASES = [
     ("1e2", 100.0, False),
     (None, 0.0, False),            # null tag (:144-147)
     ("1,2,3", -1.0, True),         # only first comma replaced -> residue ",3"
+    # whitespace-only residue enters the unit branch, matches no unit, and
+    # falls to the else -> -1 + error (:162-187; strcasecmp("","m") != 0)
+    ("5 ", -1.0, True),
+    ("5\t", -1.0, True),
+    ("  4.5 ", -1.0, True),
+    (" 2.5\t ", -1.0, True),
 ]
 
 
@@ -70,6 +76,35 @@ def test_parse_width_in_spark(spark):
     for row, (raw, w, err) in zip(rows, CASES):
         assert bool(row.width_error) == err, raw
         assert float(row.width) == pytest.approx(w, rel=1e-6), raw
+
+
+def test_parse_width_oracle_parity():
+    """The sequential test oracle (plans/oracle.py) must share every quirk,
+    including the trailing-whitespace one, or golden tests go blind."""
+    from osmi_water_spark.plans.oracle import parse_width as oracle_parse
+
+    for raw, w, err in CASES:
+        ow, oe = oracle_parse(raw)
+        assert oe == err, raw
+        assert ow == pytest.approx(w, rel=1e-6), raw
+
+
+def test_switch_poss_idempotent(spark):
+    """errorsum.hpp:37-43 — set_end_error/set_spring_error add the bit only
+    when it isn't already set; a mask carrying END (or SPRING) plus the poss
+    bit only loses the poss bit."""
+    from osmi_water_spark.functions import errors as E
+    from pyspark.sql import functions as F
+
+    cases = [
+        (E.RIVER + E.POSS_RIVERMOUTH + E.END, E.RIVER + E.END),
+        (E.RIVER + E.POSS_OUTFLOW + E.SPRING, E.RIVER + E.SPRING),
+        (E.RIVER + E.POSS_RIVERMOUTH, E.RIVER + E.END),
+        (E.RIVER + E.POSS_OUTFLOW, E.RIVER + E.SPRING),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "m int")
+    got = [r.v for r in df.select(E.switch_poss(F.col("m")).alias("v")).collect()]
+    assert got == [e for _, e in cases]
 
 
 def test_width2string():
