@@ -101,8 +101,11 @@ def main() -> None:
     timed("map_layers", lambda: Q.q_map_layers(spark, sf_dir).count())
     timed("dedup_exact", lambda: Q.q_dedup_exact(spark, sf_dir).count())
     timed("minhash_near_dups", lambda: Q.q_minhash_near_dups(spark, sf_dir).count())
+    timed("simhash_near_dups", lambda: Q.q_simhash_near_dups(spark, sf_dir).count())
+    timed("embedding_near_dups", lambda: Q.q_embedding_near_dups(spark, sf_dir).count())
     timed("ann_bruteforce", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
     timed("text_stats", lambda: Q.q_text_stats(spark, sf_dir).count())
+    timed("map_layers_relations", lambda: Q.q_map_layers_relations(spark, sf_dir).count())
 
     # pipeline_run1/2 are raw repeats of the same work already counted under
     # "pipeline" (the min) — exclude them so the total isn't triple-counted

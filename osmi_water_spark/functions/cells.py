@@ -140,6 +140,20 @@ def adaptive_cover_cells(
     return out
 
 
+def np_cell_of(lon, lat, res: int):
+    """Numpy twin of :func:`cell_of` — identical IEEE op order
+    ((lon+180.0)/360.0*n, floor, clamp) so a point gets the SAME cell id
+    whether computed JVM-side or inside an Arrow batch (the map-side PIP
+    probe relies on exact parity with the Spark-computed polygon cover)."""
+    import numpy as np
+
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, hi).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, hi).astype(np.int64)
+    return (np.int64(res) << RES_BITS_SHIFT) + (iy << IY_SHIFT) + ix
+
+
 def k_ring(cell: Column, k: int = 1) -> Column:
     """Cells within Chebyshev distance k of ``cell`` at the same resolution
     (the kNN candidate ring, J6). No antimeridian wrap (documented limit)."""

@@ -34,33 +34,53 @@ _AREA_SCHEMA = T.StructType(
 )
 
 
-def _chain_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
+def _chain_rings(segments: list[np.ndarray]) -> tuple[list[np.ndarray], bool]:
     """Greedy endpoint chaining of line segments into closed rings
     (the Assembler's ring-building, osmium_geos_factory geos_factory.hpp:195-270
-    re-expressed; segments may need reversing)."""
+    re-expressed; segments may need reversing). O(n) via an endpoint hash
+    map — the previous linear rescan per append made one 10k-member
+    coastline relation a quadratic single task.
+
+    Returns (rings, ok); ok is False when any chain cannot close (or a
+    closed chain is degenerate, <4 points) — libosmium's Assembler errors
+    the WHOLE area in that case, it does not emit the rings that did close.
+    """
     segs = [np.asarray(s, dtype=np.float64) for s in segments if s is not None and len(s) >= 2]
+    from collections import defaultdict
+
+    ends: dict[tuple[float, float], list[tuple[int, bool]]] = defaultdict(list)
+    for i, s in enumerate(segs):
+        ends[(s[0, 0], s[0, 1])].append((i, True))
+        ends[(s[-1, 0], s[-1, 1])].append((i, False))
+    used = [False] * len(segs)
     rings: list[np.ndarray] = []
-    while segs:
-        cur = segs.pop(0)
-        # already closed?
-        while not (cur[0] == cur[-1]).all():
-            found = False
-            for i, s in enumerate(segs):
-                if (s[0] == cur[-1]).all():
-                    cur = np.vstack([cur, s[1:]])
-                    segs.pop(i)
-                    found = True
-                    break
-                if (s[-1] == cur[-1]).all():
-                    cur = np.vstack([cur, s[::-1][1:]])
-                    segs.pop(i)
-                    found = True
-                    break
-            if not found:
-                break  # open ring: dropped (assembler would error the area)
-        if (cur[0] == cur[-1]).all() and len(cur) >= 4:
-            rings.append(cur)
-    return rings
+    ok = True
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        used[start] = True
+        parts = [segs[start]]
+        head = (segs[start][0, 0], segs[start][0, 1])
+        tail = (segs[start][-1, 0], segs[start][-1, 1])
+        while head != tail:
+            cand = [e for e in ends.get(tail, ()) if not used[e[0]]]
+            if not cand:
+                ok = False  # open chain: the area fails
+                break
+            # greedy parity with the original scan order: lowest segment
+            # index wins; forward orientation beats reversed at equal index
+            i, is_start = min(cand, key=lambda e: (e[0], not e[1]))
+            used[i] = True
+            s = segs[i] if is_start else segs[i][::-1]
+            parts.append(s[1:])
+            tail = (s[-1, 0], s[-1, 1])
+        else:
+            cur = np.vstack(parts) if len(parts) > 1 else parts[0]
+            if len(cur) >= 4:
+                rings.append(cur)
+            else:
+                ok = False  # degenerate closed ring
+    return rings, ok
 
 
 def _ring_contains_point(ring: np.ndarray, x: float, y: float) -> bool:
@@ -71,9 +91,13 @@ def assemble_multipolygon(
     outer_segs: list[np.ndarray], inner_segs: list[np.ndarray]
 ) -> bytes | None:
     """Rings -> MultiPolygon WKB; each inner nested into the outer that
-    contains its first vertex."""
-    outers = _chain_rings(outer_segs)
-    inners = _chain_rings(inner_segs)
+    contains its first vertex. Any unclosable chain fails the WHOLE area
+    (libosmium Assembler semantics: the area is errored, no partial
+    geometry is emitted)."""
+    outers, ok_outer = _chain_rings(outer_segs)
+    inners, ok_inner = _chain_rings(inner_segs)
+    if not (ok_outer and ok_inner):
+        return None
     if not outers:
         return None
     polys: list[list[np.ndarray]] = [[o] for o in outers]

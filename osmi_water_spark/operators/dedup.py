@@ -67,9 +67,51 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
+# flat-array permutation work is chunked so the (64, S) int64 intermediate
+# stays ~256 MB regardless of Arrow batch size
+_PERM_CHUNK = 512_000
+
+
+def minhash_signatures_batch(texts, n: int = 3) -> np.ndarray:
+    """Whole-batch minhash: shingle-hash every doc, concatenate into ONE
+    flat array, run the 64 permutations as a single (chunked) vectorized
+    pass, and segment-min back per doc with np.minimum.reduceat — instead
+    of one tiny numpy call per document (whose fixed overhead dominated at
+    scale). Bit-identical to minhash_signature per doc (same hashes, same
+    int64 wrap arithmetic, min is order-independent)."""
+    per_doc = [_shingle_hashes(t or "", n) for t in texts]
+    lengths = np.array([h.size for h in per_doc], dtype=np.int64)
+    out = np.zeros((len(per_doc), _NUM_PERM), dtype=np.int64)
+    nonempty = np.flatnonzero(lengths > 0)
+    if nonempty.size == 0:
+        return out
+    flat = np.concatenate([per_doc[i] for i in nonempty])
+    starts = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+    # chunk along the shingle axis on doc boundaries
+    mins = np.empty((nonempty.size, _NUM_PERM), dtype=np.int64)
+    doc_lo = 0
+    while doc_lo < nonempty.size:
+        doc_hi = doc_lo + 1
+        while (
+            doc_hi < nonempty.size
+            and starts[doc_hi] - starts[doc_lo] < _PERM_CHUNK
+        ):
+            doc_hi += 1
+        lo = starts[doc_lo]
+        hi = starts[doc_hi] if doc_hi < nonempty.size else flat.size
+        vals = (np.multiply.outer(_A, flat[lo:hi]) + _B[:, None]) % _MERSENNE
+        seg = starts[doc_lo:doc_hi] - lo
+        mins[doc_lo:doc_hi] = np.minimum.reduceat(vals, seg, axis=1).T
+        doc_lo = doc_hi
+    out[nonempty] = mins
+    return out
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda s: minhash_signature(s or "").tolist())
+    sigs = minhash_signatures_batch(text.tolist())
+    return pd.Series(list(sigs.tolist()))
 
 
 def minhash_bands(
@@ -91,18 +133,56 @@ def minhash_bands(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(bucketed: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bucketed: DataFrame, salt: int = 1, max_bucket: int | None = None
+) -> DataFrame:
     """Bucket self-join -> distinct candidate pairs (a < b). The join key is
-    (band, band_hash) so hot buckets are the only skew surface; bucket
-    sizes are bounded by band width in practice."""
-    l = bucketed.select("band", "band_hash", F.col("doc_id").alias("a"))
-    r = bucketed.select("band", "band_hash", F.col("doc_id").alias("b"))
-    return (
-        l.join(r, ["band", "band_hash"], "inner")
+    (band, band_hash) so hot buckets are the only skew surface.
+
+    Skew controls for dup-heavy corpora (where one bucket can hold millions
+    of docs and the naive self-join is O(n^2) in ONE task):
+
+    * ``salt`` > 1 spreads each bucket's pair work over ``salt`` shuffle
+      partitions (left side keeps its hash-salt, right side replicates to
+      every salt) — exact, same pairs, k-way parallel hot buckets.
+    * ``max_bucket`` caps the quadratic blow-up itself: buckets larger than
+      the cap emit a STAR (min-id representative paired with every other
+      member, n-1 pairs) instead of all n(n-1)/2 pairs. Connectivity for
+      near-dup clustering is preserved (every member still links to the
+      representative); only redundant intra-cluster edges are dropped.
+      Over-cap buckets are all-same-signature groups, i.e. near-certain
+      duplicate clusters — the exact-verify stage still gates each kept edge.
+    """
+    b = bucketed
+    if max_bucket is not None:
+        sizes = b.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
+        b = b.join(sizes, ["band", "band_hash"], "inner")
+        small = b.filter(F.col("bsz") <= max_bucket).drop("bsz")
+        big = b.filter(F.col("bsz") > max_bucket).drop("bsz")
+        reps = big.groupBy("band", "band_hash").agg(F.min("doc_id").alias("a"))
+        star = (
+            big.join(reps, ["band", "band_hash"], "inner")
+            .filter(F.col("doc_id") != F.col("a"))
+            .select("a", F.col("doc_id").alias("b"))
+        )
+    else:
+        small, star = b, None
+
+    l = small.select("band", "band_hash", F.col("doc_id").alias("a"))
+    r = small.select("band", "band_hash", F.col("doc_id").alias("b"))
+    keys = ["band", "band_hash"]
+    if salt > 1:
+        l = l.withColumn("salt", F.pmod(F.hash("a"), F.lit(salt)))
+        r = r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys = keys + ["salt"]
+    pairs = (
+        l.join(r, keys, "inner")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 _VERIFY_SCHEMA = "a long, b long, jaccard double"
@@ -120,10 +200,21 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col="text", id_col="d
 
     def batch(it):
         for pdf in it:
+            # candidates repeat texts heavily (one doc pairs with many) —
+            # shingle each distinct text once per batch
+            cache: dict[str, frozenset] = {}
+
+            def sh(t):
+                key = t or ""
+                r = cache.get(key)
+                if r is None:
+                    r = frozenset(_shingle_hashes(key, n))
+                    cache[key] = r
+                return r
+
             out = {"a": [], "b": [], "jaccard": []}
             for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["ta"], pdf["tb"]):
-                sa = set(_shingle_hashes(ta or "", n))
-                sb = set(_shingle_hashes(tb or "", n))
+                sa, sb = sh(ta), sh(tb)
                 j = len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
                 out["a"].append(a)
                 out["b"].append(b)
@@ -133,14 +224,27 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col="text", id_col="d
     return joined.mapInPandas(batch, _VERIFY_SCHEMA).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_near_dups(docs: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
+def minhash_near_dups(
+    docs: DataFrame, threshold: float = 0.7,
+    salt: int = 1, max_bucket: int | None = None, **kw,
+) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> minhash -> band -> bucket-join
-    -> exact-verify."""
-    pairs = lsh_candidate_pairs(minhash_bands(docs, **kw))
+    -> exact-verify. ``salt``/``max_bucket`` are the hot-bucket controls
+    (see lsh_candidate_pairs)."""
+    pairs = lsh_candidate_pairs(minhash_bands(docs, **kw), salt=salt, max_bucket=max_bucket)
     return verify_jaccard(pairs, docs, threshold=threshold, **{k: v for k, v in kw.items() if k in ("text_col", "id_col")})
 
 
 # ---------------- simhash ----------------
+
+
+def _token_hash(t: str, _cache: dict = {}) -> int:  # noqa: B006 (intentional)
+    h = _cache.get(t)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        if len(_cache) < 1_000_000:  # bounded per-worker memo
+            _cache[t] = h
+    return h
 
 
 def simhash64(text: str) -> int:
@@ -150,18 +254,43 @@ def simhash64(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        )
+        h = np.uint64(_token_hash(t))
         bits = (h >> shifts) & np.uint64(1)
         acc += 2 * bits.astype(np.int64) - 1
     out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     return out - (1 << 64) if out >= (1 << 63) else out  # signed 64
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """Whole-batch simhash: hash each distinct token once (memoized), expand
+    all token occurrences of the batch into ONE (T, 64) sign matrix, and
+    segment-sum per doc with np.add.reduceat — no per-document numpy calls.
+    Bit-identical to simhash64 (the +-1 sums are exact integers, order-
+    independent)."""
+    flat: list[int] = []
+    offsets = [0]
+    for s in texts:
+        toks = [t for t in _TOKEN_RE.split((s or "").lower()) if t]
+        flat.extend(_token_hash(t) for t in toks)
+        offsets.append(len(flat))
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not flat:
+        return out
+    h = np.array(flat, dtype=np.uint64)
+    lengths = np.diff(np.array(offsets, dtype=np.int64))
+    nonempty = np.flatnonzero(lengths > 0)
+    starts = np.array(offsets, dtype=np.int64)[nonempty]
+    shifts = np.arange(64, dtype=np.uint64)
+    contrib = (2 * ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1)
+    acc = np.add.reduceat(contrib, starts, axis=0)  # (n_nonempty, 64)
+    packed = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1)
+    out[nonempty] = packed.view(np.int64)  # two's-complement reinterpret
+    return out
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(simhash64)
+    return pd.Series(simhash_batch(text.tolist()))
 
 
 def simhash_candidates(docs: DataFrame, text_col="text", id_col="doc_id",
@@ -207,24 +336,57 @@ def hyperplane_bucket(emb: pd.Series) -> pd.Series:
 
 def embedding_near_dups(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, salt: int = 1, max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-dups via hyperplane-LSH buckets + in-bucket exact cosine.
-    The bucket join replaces the O(N^2) comparison; recall tunable by bits."""
+    The bucket join replaces the O(N^2) comparison; recall tunable by bits.
+    ``salt`` spreads a hot bucket's pair work k ways (exact); ``max_bucket``
+    switches over-cap buckets to a min-id star (connectivity-preserving cap
+    on the quadratic pair count — a dup-heavy corpus collapses into few
+    buckets, and emitting every intra-cluster edge is pointless)."""
     b = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col)).alias("bucket"),
     )
+    star = None
+    if max_bucket is not None:
+        sizes = b.groupBy("bucket").agg(F.count("*").alias("bsz"))
+        b = b.join(sizes, "bucket", "inner")
+        big = b.filter(F.col("bsz") > max_bucket).drop("bsz")
+        b = b.filter(F.col("bsz") <= max_bucket).drop("bsz")
+        reps = big.groupBy("bucket").agg(F.min("vid").alias("rep"))
+        star = (
+            big.join(reps, "bucket", "inner")
+            .filter(F.col("vid") != F.col("rep"))
+            .join(
+                big.select("bucket", F.col("vid").alias("rep"),
+                           F.col("v").alias("va")).dropDuplicates(["bucket", "rep"]),
+                ["bucket", "rep"], "inner",
+            )
+            .select(F.col("rep").alias("a"), F.col("vid").alias("b"),
+                    "va", F.col("v").alias("vb"))
+        )
     l = b.select("bucket", F.col("vid").alias("a"), F.col("v").alias("va"))
     r = b.select("bucket", F.col("vid").alias("b"), F.col("v").alias("vb"))
-    pairs = l.join(r, "bucket", "inner").filter(F.col("a") < F.col("b"))
+    keys = ["bucket"]
+    if salt > 1:
+        l = l.withColumn("salt", F.pmod(F.hash("a"), F.lit(salt)))
+        r = r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys = ["bucket", "salt"]
+    pairs = l.join(r, keys, "inner").filter(F.col("a") < F.col("b")).select(
+        "a", "b", "va", "vb"
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
 
     def batch(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            va = np.vstack(pdf["va"].to_numpy())
-            vb = np.vstack(pdf["vb"].to_numpy())
+            # float64: the threshold decision must not wobble at float32
+            # precision (and the DuckDB oracle computes in DOUBLE)
+            va = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+            vb = np.vstack(pdf["vb"].to_numpy()).astype(np.float64)
             cos = (va * vb).sum(1) / (
                 np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1) + 1e-12
             )

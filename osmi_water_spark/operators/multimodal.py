@@ -77,6 +77,52 @@ def fake_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+BYTE_FEATURES_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "entropy double, mean_byte double, frac_printable double"
+)
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """REAL (not stubbed) codec-free feature extraction over the raw
+    payload bytes: Shannon entropy, mean byte value, printable-ASCII
+    fraction. This is the feature path that needs no image/audio library —
+    useful as-is for corrupt-file detection, format fingerprinting, and
+    compression-ratio proxies in a training-data pipeline. Per *feature*
+    Python, per *byte* numpy (bincount/histogram), Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, nb, ent, mean, prn = [], [], [], [], [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8)
+                    if payload is not None and len(payload)
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                n = int(b.size)
+                if n:
+                    h = np.bincount(b, minlength=256).astype(np.float64)
+                    p = h[h > 0] / n
+                    e = float(-(p * np.log2(p)).sum())
+                    m = float(b.mean())
+                    fp = float(((b >= 32) & (b < 127)).mean())
+                else:
+                    e = m = fp = 0.0
+                ids.append(mid); types.append(mtype); nb.append(n)
+                ent.append(e); mean.append(m); prn.append(fp)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "n_bytes": nb,
+                 "entropy": ent, "mean_byte": mean, "frac_printable": prn}
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        batches, BYTE_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame
     (the decode itself is the stubbed part). Demonstrates the explode

@@ -21,11 +21,24 @@ from osmi_water_spark.operators.dedup import _HYPER
 def cosine_topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    exclude_self: bool = True,
+    exclude_self: bool = True, max_queries: int = 100_000,
 ) -> DataFrame:
-    """-> (query_id, rank, neighbor_id, cosine); rank by (-cosine, id)."""
+    """-> (query_id, rank, neighbor_id, cosine); rank by (-cosine, id).
+
+    The query set is collected + broadcast by contract (queries << corpus);
+    ``max_queries`` guards the driver against a caller passing the corpus
+    as the query side."""
     spark = corpus.sparkSession
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q) > max_queries:
+        raise ValueError(
+            f"cosine_topk_bruteforce broadcasts the query side; got more than "
+            f"{max_queries} query rows — swap sides or raise max_queries"
+        )
     if not q:
         return spark.createDataFrame([], "query_id long, rank int, neighbor_id long, cosine double")
     qids = np.array([r.query_id for r in q], dtype=np.int64)

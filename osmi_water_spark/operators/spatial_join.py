@@ -26,7 +26,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +40,97 @@ REFINE_SCHEMA_LONLAT = "point_id long, area_key string, lon double, lat double"
 # WKB, which would OOM the driver long before the row count trips.
 MAX_BROADCAST_PARTS = 200_000
 MAX_BROADCAST_BYTES = 128 << 20
+# map-side probe eligibility: the (cell, area) cover table must itself fit
+# in the broadcast (16 bytes/row -> ~64 MB at the cap)
+MAX_PROBE_CELLS = 4_000_000
+
+
+class CellProbeIndex:
+    """The whole J5 polygon side as one broadcastable object: the sorted
+    (cell -> candidate area ids) cover table plus the FlatPolygonIndex.
+
+    With it, the PIP join runs as a single narrow ``mapInArrow`` over the
+    points table — no point-side explode, no shuffle join, no candidate
+    materialization. At cluster scale this is the map-side-join strategy:
+    the polygon side (small by the broadcast bound) ships once per
+    executor; the 100-TB point side streams through untouched. Cell lookup
+    is a vectorized ``searchsorted`` per batch; containment is the flat
+    ray cast. Replaces the sort-merge join that dominated PIP wall time
+    once the cover outgrew Spark's broadcast-join threshold."""
+
+    def __init__(self, cover_pairs: np.ndarray, index: "W.FlatPolygonIndex",
+                 res_list: list[int], keys: list):
+        pairs = np.asarray(cover_pairs, dtype=np.int64).reshape(-1, 2)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        pairs = pairs[order]
+        if len(pairs):
+            # several parts of one key can cover the same cell — dedup
+            first = np.ones(len(pairs), dtype=bool)
+            first[1:] = (pairs[1:] != pairs[:-1]).any(axis=1)
+            pairs = pairs[first]
+        cells = pairs[:, 0]
+        self.cand_key = pairs[:, 1]
+        self.uniq_cells, starts = np.unique(cells, return_index=True)
+        self.cand_start = starts.astype(np.int64)
+        self.cand_count = np.diff(np.append(starts, len(cells))).astype(np.int64)
+        self.index = index
+        self.res_list = list(res_list)
+        self.keys = np.asarray(keys, dtype=object)
+
+    def candidates(self, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """cells (n,) -> ragged (row_idx, key_id) candidate expansion."""
+        if len(self.uniq_cells) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pos = np.searchsorted(self.uniq_cells, cells)
+        pos = np.minimum(pos, len(self.uniq_cells) - 1)
+        rows = np.flatnonzero(self.uniq_cells[pos] == cells)
+        p = pos[rows]
+        owner, flat = W.FlatPolygonIndex._ragged(
+            self.cand_start[p], self.cand_count[p]
+        )
+        return rows[owner], self.cand_key[flat]
+
+
+def _probe_refine(
+    batches: Iterator["pa.RecordBatch"], probe: "CellProbeIndex", carry_lonlat: bool
+) -> Iterator["pa.RecordBatch"]:
+    """Map-side PIP: per Arrow batch of points, gather candidate areas from
+    the broadcast cover (one searchsorted per resolution), dedup (point,
+    area) pairs, and run one flat vectorized ray cast. Zero shuffle."""
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        ids = rb.column("point_id").to_numpy(zero_copy_only=False)
+        lon = rb.column("lon").to_numpy(zero_copy_only=False)
+        lat = rb.column("lat").to_numpy(zero_copy_only=False)
+        rows_parts, key_parts = [], []
+        for res in probe.res_list:
+            r, k = probe.candidates(C.np_cell_of(lon, lat, res))
+            rows_parts.append(r)
+            key_parts.append(k)
+        rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+        kk = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
+        if rows.size == 0:
+            continue
+        # a (point, area) pair can arrive once per resolution — dedup
+        order = np.lexsort((rows, kk))
+        sr, sk = rows[order], kk[order]
+        uniq = np.ones(order.size, dtype=bool)
+        uniq[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        rows, kk = sr[uniq], sk[uniq]
+        keep = probe.index.eval(lon[rows], lat[rows], kk)
+        rsel, ksel = rows[keep], kk[keep]
+        arrays = [
+            pa.array(ids[rsel], type=pa.int64()),
+            pa.array(probe.keys[ksel], type=pa.string()),
+        ]
+        names = ["point_id", "area_key"]
+        if carry_lonlat:
+            arrays += [pa.array(lon[rsel]), pa.array(lat[rsel])]
+            names += ["lon", "lat"]
+        yield pa.RecordBatch.from_arrays(arrays, names)
 
 
 def should_broadcast_parts(n_parts: int, n_bytes: int,
@@ -51,40 +141,29 @@ def should_broadcast_parts(n_parts: int, n_bytes: int,
     return n_parts <= max_parts and n_bytes <= max_bytes
 
 
-def _refine_batches(
-    batches: Iterator[pd.DataFrame], carry_lonlat: bool = False
-) -> Iterator[pd.DataFrame]:
-    """Exact containment refine, fully array-based: factorize the batch by
-    polygon part, slice contiguous index runs (argsort + searchsorted), and
-    ray-cast each part's candidate points in one vectorized call. No
-    per-group pandas objects — per-part cost is the ray cast itself (the
-    naive groupby/concat version paid ~0.5 ms of pandas overhead per tiny
-    group, which dominated the whole pipeline at scale)."""
-    import numpy as np
+def _refine_arrow_parts(
+    batches: Iterator["pa.RecordBatch"], carry_lonlat: bool
+) -> Iterator["pa.RecordBatch"]:
+    """Exact containment refine over (point_id, area_key, part_wkb, lon,
+    lat) record batches: dictionary-encode the WKB column (one parse per
+    DISTINCT part per batch), then ONE flat vectorized ray cast for the
+    whole batch (FlatPolygonIndex — per-part numpy calls were the measured
+    scaling bottleneck at local[32], BENCH.md). Arrow-native end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    for pdf in batches:
-        if len(pdf) == 0:
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        ids = pdf["point_id"].to_numpy()
-        lon = pdf["lon"].to_numpy()
-        lat = pdf["lat"].to_numpy()
-        keys = pdf["area_key"].to_numpy()
-        codes, uniques = pd.factorize(pdf["part_wkb"], sort=False)
-        order = np.argsort(codes, kind="stable")
-        sorted_codes = codes[order]
-        bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
-        keep = np.zeros(len(pdf), dtype=bool)
-        for c in range(len(uniques)):
-            idx = order[bounds[c] : bounds[c + 1]]
-            if idx.size == 0:
-                continue
-            m = W.points_in_wkb_polygon(lon[idx], lat[idx], bytes(uniques[c]))
-            keep[idx[m]] = True
-        out = {"point_id": ids[keep], "area_key": keys[keep]}
-        if carry_lonlat:
-            out["lon"] = lon[keep]
-            out["lat"] = lat[keep]
-        yield pd.DataFrame(out)
+        lon = rb.column("lon").to_numpy(zero_copy_only=False)
+        lat = rb.column("lat").to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(rb.column("part_wkb"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = d.dictionary.to_pylist()
+        index = W.FlatPolygonIndex.build(enumerate(parts))
+        keep = index.eval(lon, lat, codes)
+        cols = ["point_id", "area_key"] + (["lon", "lat"] if carry_lonlat else [])
+        yield rb.select(cols).filter(pa.array(keep))
 
 
 def pip_join(
@@ -170,54 +249,87 @@ def pip_join(
         & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
     )
     if broadcast_parts:
-        # area_key -> ALL part WKBs: a multi-part area (e.g. a multipolygon
-        # with two outer rings, areahandler.hpp:48-62 indexes each part
-        # separately) emits several index rows under one key — a plain dict
-        # would keep only one part and silently drop points inside the rest.
-        wkb_by_key: dict[str, list[bytes]] = {}
-        for r in polygon_parts.select("area_key", "part_wkb").collect():
-            wkb_by_key.setdefault(r["area_key"], []).append(bytes(r["part_wkb"]))
-        bc = spark.sparkContext.broadcast(wkb_by_key)
+        # The flat index is built ONCE on the driver over every (area_key,
+        # part) row — multi-part areas (a multipolygon with several outer
+        # rings, areahandler.hpp:48-62) keep each part; eval ORs over a
+        # key's parts — then shipped per executor.
+        index = W.FlatPolygonIndex.build(
+            (r["area_key"], bytes(r["part_wkb"]))
+            for r in polygon_parts.select("area_key", "part_wkb").collect()
+        )
+        # Preferred physical strategy: map-side probe. If the (cell, area)
+        # cover table also fits the broadcast, ship it with the index and
+        # run the whole join as one narrow mapInArrow over the raw points —
+        # no explode, no join, no candidate shuffle. Falls back to the
+        # broadcast-WKB equi-join when the cover is too wide.
+        cover_small = cover.select("cell", "area_key").distinct()
+        if cover_small.count() <= MAX_PROBE_CELLS:
+            pairs = [
+                (r["cell"], index.key_id[r["area_key"]])
+                for r in cover_small.collect()
+            ]
+            keys_by_id = [None] * len(index.key_id)
+            for k, i in index.key_id.items():
+                keys_by_id[i] = k
+            probe = CellProbeIndex(
+                np.asarray(pairs, dtype=np.int64) if pairs
+                else np.empty((0, 2), np.int64),
+                index, res_list, keys_by_id,
+            )
+            bcp = spark.sparkContext.broadcast(probe)
+            refined = points.select("point_id", "lon", "lat").mapInArrow(
+                lambda it: _probe_refine(it, bcp.value, carry_lonlat), schema
+            )
+            # pairs are already unique per input row (in-batch dedup across
+            # resolutions); the global dedup only collapses duplicate input
+            # point_ids, preserving pip_join's declared contract
+            return (
+                refined.dropDuplicates(["point_id", "area_key"])
+                if dedup_pairs else refined
+            )
+        bc = spark.sparkContext.broadcast(index)
         cand = pts.join(
             cover.select(*keys, "area_key", "minx", "miny", "maxx", "maxy"), keys, "inner"
         ).filter(env)
 
-        def refine_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            lookup = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                # each row tests every part of its area, so (point, area)
-                # duplicates within the batch are redundant work
-                pdf = pdf[["point_id", "area_key", "lon", "lat"]].drop_duplicates(
-                    ["point_id", "area_key"]
-                )
-                ids = pdf["point_id"].to_numpy()
-                lon = pdf["lon"].to_numpy()
-                lat = pdf["lat"].to_numpy()
-                keys_arr = pdf["area_key"].to_numpy()
-                codes, uniques = pd.factorize(pdf["area_key"], sort=False)
-                order = np.argsort(codes, kind="stable")
-                bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
-                keep = np.zeros(len(pdf), dtype=bool)
-                for c in range(len(uniques)):
-                    idx = order[bounds[c] : bounds[c + 1]]
-                    if idx.size == 0:
-                        continue
-                    pending = idx
-                    for part in lookup.get(uniques[c], ()):
-                        m = W.points_in_wkb_polygon(lon[pending], lat[pending], part)
-                        keep[pending[m]] = True
-                        pending = pending[~m]
-                        if pending.size == 0:
-                            break
-                out = {"point_id": ids[keep], "area_key": keys_arr[keep]}
-                if carry_lonlat:
-                    out["lon"] = lon[keep]
-                    out["lat"] = lat[keep]
-                yield pd.DataFrame(out)
+        def refine_bc(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        refined = cand.select("point_id", "area_key", "lon", "lat").mapInPandas(
+            idx = bc.value
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column("point_id").to_numpy(zero_copy_only=False)
+                lon = rb.column("lon").to_numpy(zero_copy_only=False)
+                lat = rb.column("lat").to_numpy(zero_copy_only=False)
+                d = pc.dictionary_encode(rb.column("area_key"))
+                codes = d.indices.to_numpy(zero_copy_only=False)
+                uniques = d.dictionary.to_pylist()
+                remap = np.array(
+                    [idx.key_id.get(k, -1) for k in uniques], dtype=np.int64
+                )
+                # lexsort gives grouping AND intra-batch (point, area) dedup
+                # in one pass (a key's parts can cover the same cell, so the
+                # same pair may arrive on several candidate rows)
+                order = np.lexsort((ids, codes))
+                sc, si = codes[order], ids[order]
+                uniq = np.ones(order.size, dtype=bool)
+                uniq[1:] = (sc[1:] != sc[:-1]) | (si[1:] != si[:-1])
+                sel = order[uniq]
+                keep = idx.eval(lon[sel], lat[sel], remap[codes[sel]])
+                outsel = sel[keep]
+                arrays = [
+                    pa.array(ids[outsel], type=pa.int64()),
+                    pc.take(rb.column("area_key"), pa.array(outsel)),
+                ]
+                names = ["point_id", "area_key"]
+                if carry_lonlat:
+                    arrays += [pa.array(lon[outsel]), pa.array(lat[outsel])]
+                    names += ["lon", "lat"]
+                yield pa.RecordBatch.from_arrays(arrays, names)
+
+        refined = cand.select("point_id", "area_key", "lon", "lat").mapInArrow(
             refine_bc, schema
         )
     else:
@@ -225,8 +337,8 @@ def pip_join(
             cover.select(*keys, "area_key", "part_wkb", "minx", "miny", "maxx", "maxy"),
             keys, "inner",
         ).filter(env)
-        refined = cand.select("point_id", "area_key", "part_wkb", "lon", "lat").mapInPandas(
-            lambda it: _refine_batches(it, carry_lonlat), schema
+        refined = cand.select("point_id", "area_key", "part_wkb", "lon", "lat").mapInArrow(
+            lambda it: _refine_arrow_parts(it, carry_lonlat), schema
         )
     return refined.dropDuplicates(["point_id", "area_key"]) if dedup_pairs else refined
 

@@ -181,8 +181,12 @@ def point_in_rings(x: float, y: float, rings) -> bool:
 
 
 def chain_rings(segments):
+    """-> (rings, ok); ok False when a chain can't close or a closed chain
+    is degenerate — the Assembler then errors the WHOLE area (no partial
+    rings are emitted downstream)."""
     segs = [list(map(tuple, s)) for s in segments if s and len(s) >= 2]
     rings = []
+    ok = True
     while segs:
         cur = segs.pop(0)
         while cur[0] != cur[-1]:
@@ -196,10 +200,13 @@ def chain_rings(segments):
                     segs.pop(i)
                     break
             else:
+                ok = False  # open chain
                 break
         if cur[0] == cur[-1] and len(cur) >= 4:
             rings.append(cur)
-    return rings
+        elif cur[0] == cur[-1]:
+            ok = False  # degenerate closed ring
+    return rings, ok
 
 
 # ---- the pipeline ----
@@ -366,9 +373,9 @@ def run_oracle(entities: list[dict]) -> dict[str, list[tuple]]:  # noqa: C901
                     continue
                 seg = locate(way)
                 (inner_segs if m["role"] == "inner" else outer_segs).append(seg)
-            outers = chain_rings(outer_segs)
-            inners = chain_rings(inner_segs)
-            if outers:
+            outers, ok_outer = chain_rings(outer_segs)
+            inners, ok_inner = chain_rings(inner_segs)
+            if outers and ok_outer and ok_inner:
                 rings = []
                 for o in outers:
                     rings.append(o)

@@ -78,17 +78,82 @@ class Lineage:
         return spark.createDataFrame(self.rows or [], LINEAGE)
 
 
-def _stage(out_dir: str | None, name: str, compute, spark: SparkSession,
+class Sink:
+    """Stage-checkpoint writer seam: ``fmt='parquet'`` (this sandbox) or
+    ``fmt='iceberg'`` (the production path, BASELINE.json:6 — same code,
+    routed through an Iceberg catalog table per stage). The Iceberg branch
+    needs the iceberg-spark-runtime jars and a configured catalog
+    (``spark.sql.catalog.<name>``), which this environment lacks; the seam
+    is exercised with parquet by tests/test_determinism_resume.py and the
+    iceberg branch is plain ``writeTo``/``read.table`` calls."""
+
+    def __init__(self, out_dir: str, fmt: str = "parquet", catalog: str | None = None,
+                 bucket_spec: dict[str, tuple[int, str]] | None = None):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown sink format: {fmt}")
+        if fmt == "iceberg" and not catalog:
+            raise ValueError("iceberg sink needs a catalog (e.g. 'prod.db')")
+        self.out_dir, self.fmt, self.catalog = out_dir, fmt, catalog
+        # stage name -> (n_buckets, column): write that checkpoint as a
+        # BUCKETED table so downstream joins/aggs on the column read it
+        # pre-partitioned (no Exchange on that side). Same-session resume
+        # reads the bucketed table; a fresh session without the catalog
+        # entry falls back to a plain parquet read (correct, un-bucketed).
+        self.bucket_spec = bucket_spec or {}
+
+    def _table(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
+
+    def _bucket_table(self, name: str) -> str:
+        import hashlib as _h
+
+        tag = _h.md5(self.out_dir.encode()).hexdigest()[:8]
+        return f"osmi_ckpt_{tag}_{name}"
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        if self.fmt == "parquet":
+            return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+        return spark.catalog.tableExists(self._table(name))
+
+    def write(self, df: DataFrame, name: str) -> None:
+        if self.fmt == "parquet":
+            if name in self.bucket_spec:
+                n, col = self.bucket_spec[name]
+                tbl = self._bucket_table(name)
+                spark = df.sparkSession
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                (
+                    df.write.mode("overwrite")
+                    .bucketBy(n, col).sortBy(col)
+                    .option("path", self.path(name))
+                    .saveAsTable(tbl)
+                )
+            else:
+                df.write.mode("overwrite").parquet(self.path(name))
+        else:
+            df.writeTo(self._table(name)).createOrReplace()
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.fmt == "parquet":
+            if name in self.bucket_spec and spark.catalog.tableExists(self._bucket_table(name)):
+                return spark.read.table(self._bucket_table(name))
+            return spark.read.parquet(self.path(name))
+        return spark.read.table(self._table(name))
+
+
+def _stage(sink: Sink | None, name: str, compute, spark: SparkSession,
            lineage: Lineage | None, resume: bool):
-    """Checkpoint-or-resume wrapper: parquet per stage when out_dir is set."""
-    if out_dir:
-        path = os.path.join(out_dir, name)
-        if resume and os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.parquet(path), True
+    """Checkpoint-or-resume wrapper: one sink table/dir per stage."""
+    if sink:
+        if resume and sink.exists(spark, name):
+            return sink.read(spark, name), True
         t0 = time.time()
         df = compute()
-        df.write.mode("overwrite").parquet(path)
-        out = spark.read.parquet(path)
+        sink.write(df, name)
+        out = sink.read(spark, name)
         if lineage is not None:
             lineage.record(name, out, t0)
         return out, False
@@ -107,19 +172,30 @@ def run_pipeline(
     salt: int = 1,
     resume: bool = False,
     with_lineage: bool = True,
+    sink_format: str = "parquet",
+    sink_catalog: str | None = None,
+    bucket_entities: int | None = None,
 ) -> dict[str, DataFrame]:
-    """pages -> the four output tables + tile tables (+ checkpoints)."""
-    lineage = Lineage() if (with_lineage and out_dir) else None
+    """pages -> the four output tables + tile tables (+ checkpoints).
+
+    ``bucket_entities``: write the entities checkpoint as a table bucketed
+    by id (N buckets) — the J1 locate join then reads its nodes side
+    pre-partitioned on the join key (one Exchange instead of two). On a
+    100-TB run this is the difference between re-shuffling the node table
+    on every pass and shuffling it once at ingest."""
+    bucket_spec = {"entities": (bucket_entities, "id")} if bucket_entities else None
+    sink = Sink(out_dir, sink_format, sink_catalog, bucket_spec) if out_dir else None
+    lineage = Lineage() if (with_lineage and sink) else None
 
     # ---- Stage A: extraction ----
     entities, _ = _stage(
-        out_dir, "entities", lambda: extract_entities(pages), spark, lineage, resume
+        sink, "entities", lambda: extract_entities(pages), spark, lineage, resume
     )
     nodes, ways, relations = split_entities(entities)
 
     # ---- Stage B: locate (J1) ----
     ways_located, _ = _stage(
-        out_dir, "ways_located", lambda: locate_ways(ways, nodes), spark, lineage, resume
+        sink, "ways_located", lambda: locate_ways(ways, nodes), spark, lineage, resume
     )
     locations = node_locations(nodes)
 
@@ -177,10 +253,10 @@ def run_pipeline(
     )
 
     out: dict[str, DataFrame] = {}
-    out["ways"], _ = _stage(out_dir, "ways", lambda: ways_out, spark, lineage, resume)
-    out["relations"], _ = _stage(out_dir, "relations", lambda: relations_out, spark, lineage, resume)
-    out["polygons"], _ = _stage(out_dir, "polygons", lambda: polygons_out, spark, lineage, resume)
-    out["nodes"], _ = _stage(out_dir, "nodes", lambda: nodes_out, spark, lineage, resume)
+    out["ways"], _ = _stage(sink, "ways", lambda: ways_out, spark, lineage, resume)
+    out["relations"], _ = _stage(sink, "relations", lambda: relations_out, spark, lineage, resume)
+    out["polygons"], _ = _stage(sink, "polygons", lambda: polygons_out, spark, lineage, resume)
+    out["nodes"], _ = _stage(sink, "nodes", lambda: nodes_out, spark, lineage, resume)
 
     tv = TI.tile_validation(out["nodes"], tile_z)
     polys_fid = out["polygons"].withColumn(
@@ -193,10 +269,10 @@ def run_pipeline(
             TI.feature_tile_assignment(out["relations"], "relations", "relation_id", tile_z, cell_res)
         )
     )
-    out["tile_validation"], _ = _stage(out_dir, "tile_validation", lambda: tv, spark, lineage, resume)
-    out["tile_assignment"], _ = _stage(out_dir, "tile_assignment", lambda: ta, spark, lineage, resume)
+    out["tile_validation"], _ = _stage(sink, "tile_validation", lambda: tv, spark, lineage, resume)
+    out["tile_assignment"], _ = _stage(sink, "tile_assignment", lambda: ta, spark, lineage, resume)
 
     if lineage is not None:
-        lineage.dataframe(spark).write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage"))
-        out["_lineage"] = spark.read.parquet(os.path.join(out_dir, "_lineage"))
+        sink.write(lineage.dataframe(spark), "_lineage")
+        out["_lineage"] = sink.read(spark, "_lineage")
     return out

@@ -776,24 +776,69 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Hyperplane-LSH bucket join + in-bucket exact cosine. Output is the
+    pair set only — the cosine value itself is summation-order-sensitive
+    between numpy and the DuckDB oracle, the membership decision is not."""
     from osmi_water_spark.operators.dedup import embedding_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.25)
+    return embedding_near_dups(emb, threshold=0.25).select("a", "b")
+
+
+def _sql_embedding_near_dups() -> str:
+    """The seeded 16x64 hyperplane matrix inlined as SQL literals: DuckDB
+    reproduces the bucket assignment and the exact-cosine verify in DOUBLE
+    (repr() round-trips each float64 exactly)."""
+    from osmi_water_spark.operators.dedup import _HYPER
+
+    terms = []
+    for i in range(_HYPER.shape[0]):
+        lits = ", ".join(repr(float(x)) for x in _HYPER[i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n    + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_dot_product(l.v, r.v)
+           / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) + 1e-12) AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT a, b FROM p WHERE cosine >= 0.25
+"""
+
+
+SQL_EMB_NEAR_DUPS = _sql_embedding_near_dups()
 
 
 def q_ann_ivf(spark, sf_dir):
+    """IVF/LSH ANN at full multiprobe (probe_flips = bits enumerates every
+    bucket), which makes the result exactly the brute-force top-k — so the
+    whole bucketed machinery (corpus bucketing, multiprobe expansion,
+    bucket join, per-candidate scoring, ranking) is oracle-checked against
+    SQL_ANN. The approximate configs share this code path and are recall-
+    characterized in tests/test_data_ops.py."""
     from osmi_water_spark.operators.similarity import cosine_topk_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+    return cosine_topk_ivf(emb, queries, k=5, bits=6, probe_flips=6).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+PIPELINE_NODES_FIXTURE = "/root/repo/tests/fixtures/pipeline_nodes_expected.parquet"
 
 
 def q_pipeline_nodes(spark, sf_dir):
-    """The full waterway pipeline end-to-end on deterministic synthetic pages
-    (pass-to-pass state machine is non-SQL-expressible; golden-checked by
-    the pytest oracle instead)."""
+    """The full waterway pipeline end-to-end on deterministic synthetic
+    pages. The pass-to-pass state machine is non-SQL-expressible, so the
+    oracle is a plain SELECT over a parquet fixture precomputed by the
+    SEQUENTIAL reference-transcription oracle (plans/oracle.py) on the same
+    scale_entities(40) input — regenerate with
+    scripts/make_pipeline_fixture.py."""
     from osmi_water_spark.plans.pipeline import run_pipeline
     from osmi_water_spark.sources.pages_gen import pages_dataframe, scale_pages_rows
 
@@ -805,11 +850,77 @@ def q_pipeline_nodes(spark, sf_dir):
     )
 
 
+SQL_PIPELINE_NODES = f"""
+SELECT node_id, specific, direction_error, name_error, type_error,
+       spring_error, end_error, way_error, h3_cell
+FROM read_parquet('{PIPELINE_NODES_FIXTURE}')
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from osmi_water_spark.operators.multimodal import fake_features, synth_media
 
     media = synth_media(spark, 200)
     return fake_features(media).select("media_id", "media_type", "n_bytes")
+
+
+# synth_media payloads are blake2b(str(i), 32 bytes) * (i%5+1), so the
+# plumbing output (type routing + byte accounting through mapInPandas)
+# is closed-form checkable without registered tables.
+SQL_MULTIMODAL = """
+SELECT i AS media_id,
+       (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS media_type,
+       32 * (i % 5 + 1) AS n_bytes
+FROM range(0, 200) t(i)
+"""
+
+
+def q_multimodal_byte_features(spark, sf_dir):
+    """The REAL codec-free feature path (multimodal.byte_features): byte
+    entropy / mean / printable fraction over raw payloads. Doubles are
+    emitted as floor(x*1e6+0.5) micro-units so the cross-engine compare is
+    integer-exact (entropy summation order differs at ~1e-16 between numpy
+    and the oracle's plain-Python recomputation)."""
+    from osmi_water_spark.operators.multimodal import byte_features, synth_media
+
+    f = byte_features(synth_media(spark, 200))
+    u = lambda c: F.floor(F.col(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+    return f.select(
+        "media_id", "media_type", "n_bytes",
+        u("entropy").alias("entropy_u"),
+        u("mean_byte").alias("mean_byte_u"),
+        u("frac_printable").alias("printable_u"),
+    )
+
+
+def _sql_multimodal_byte_features() -> str:
+    """Independent plain-Python recomputation (Counter + math.log2, no
+    numpy) of the expected rows, inlined as a VALUES table."""
+    import hashlib
+    import math as m
+    from collections import Counter
+
+    rows = []
+    for i in range(200):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.blake2b(str(i).encode(), digest_size=32).digest() * (i % 5 + 1)
+        n = len(payload)
+        cnt = Counter(payload)
+        ent = -sum((v / n) * m.log2(v / n) for v in cnt.values())
+        mean = sum(payload) / n
+        fp = sum(1 for b in payload if 32 <= b < 127) / n
+        rows.append(
+            f"({i}, '{kind}', {n}, {m.floor(ent * 1e6 + 0.5)}, "
+            f"{m.floor(mean * 1e6 + 0.5)}, {m.floor(fp * 1e6 + 0.5)})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, media_type, n_bytes, entropy_u, mean_byte_u, printable_u)"
+    )
+
+
+SQL_MULTIMODAL_BYTES = _sql_multimodal_byte_features()
 
 
 # ---------------- registry ----------------
@@ -833,7 +944,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
-    # rows-only (no SQL oracle)
+    # minhash/simhash stay rows-only (crc32/blake2b have no DuckDB
+    # equivalent); the others are oracle-paired at the bottom of the file
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1028,3 +1140,82 @@ QUERIES["map_layers_nodes"] = q_map_layers_nodes
 QUERIES["map_layers_polygons"] = q_map_layers_polygons
 ORACLES["map_layers_nodes"] = SQL_MAP_LAYERS_NODES
 ORACLES["map_layers_polygons"] = SQL_MAP_LAYERS_POLYGONS
+
+
+RELATION_LAYERS = [
+    # map/water.map:722, :784, :846, :908, :980, :1029 — the six
+    # waterrelations_* layers, FILTERed on the relations-table type column
+    ("relations_drain", "type IN ('drain','ditch')"),
+    ("relations_canal", "type = 'canal'"),
+    ("relations_stream", "type = 'stream'"),
+    ("relations_river", "type = 'river'"),
+    # quirk mirror of riverbank_areas: F1 rejects waterway=riverbank
+    # relations (tagcheck.hpp:35-60), so the relations table can never
+    # carry type='riverbank' and this layer is structurally empty
+    ("relations_riverbank", "type = 'riverbank'"),
+    ("relations_other", "type = 'other'"),
+]
+
+
+def q_map_layers_relations(spark, sf_dir):
+    """§2.9 relation layers over derived relation tags: F1 relation gate
+    (is_waterway with is_relation=True) then P2 typing — the same columns
+    the relations writer (O2, assemble.py) produces."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    typ = F.when(k % 4 == 0, F.lit("waterway")).when(k % 4 == 1, F.lit("multipolygon"))
+    ww = F.when(k % 9 < 8, F.element_at(F.array(*[F.lit(v) for v in WW_VALUES]), (k % 9 + 1).cast("int")))
+    tags = F.map_filter(
+        F.create_map(F.lit("type"), typ, F.lit("waterway"), ww),
+        lambda _, v: v.isNotNull(),
+    )
+    rels = sup.select(k.alias("id"), tags.alias("tags"))
+    base = (
+        rels.filter(TG.is_waterway(F.col("tags"), True))
+        .select(TG.get_way_type(F.col("tags")).alias("type"))
+        .cache()
+    )
+    outs = None
+    for layer, cond in RELATION_LAYERS:
+        cnt = base.filter(F.expr(cond)).agg(
+            F.lit(layer).alias("layer"), F.count("*").alias("n")
+        )
+        outs = cnt if outs is None else outs.unionByName(cnt)
+    return outs
+
+
+def _sql_map_layers_relations() -> str:
+    selects = [
+        f"SELECT '{layer}' AS layer, count(*) FILTER (WHERE {cond}) AS n FROM typed"
+        for layer, cond in RELATION_LAYERS
+    ]
+    return f"""
+WITH rel AS (
+  SELECT s_suppkey AS k,
+    CASE WHEN s_suppkey%4=0 THEN 'waterway' WHEN s_suppkey%4=1 THEN 'multipolygon' END AS typ,
+    CASE WHEN s_suppkey%9<8 THEN (['river','stream','drain','brook','canal','ditch','riverbank','weir'])[s_suppkey%9+1] END AS ww
+  FROM supplier),
+gated AS (
+  SELECT k, ww FROM rel
+  WHERE NOT (coalesce(typ,'') = 'multipolygon')
+    AND NOT (coalesce(ww,'') = 'riverbank')
+    AND (coalesce(typ,'') = 'waterway' OR ww IS NOT NULL)),
+typed AS (
+  SELECT CASE WHEN ww IS NULL THEN ''
+              WHEN ww IN ('river','stream','drain','brook','canal','ditch','riverbank') THEN ww
+              ELSE 'other' END AS type
+  FROM gated)
+{' UNION ALL '.join(selects)}
+"""
+
+
+SQL_MAP_LAYERS_RELATIONS = _sql_map_layers_relations()
+
+QUERIES["map_layers_relations"] = q_map_layers_relations
+QUERIES["multimodal_byte_features"] = q_multimodal_byte_features
+ORACLES["map_layers_relations"] = SQL_MAP_LAYERS_RELATIONS
+ORACLES["embedding_near_dups"] = SQL_EMB_NEAR_DUPS
+ORACLES["ann_ivf"] = SQL_ANN
+ORACLES["pipeline_nodes"] = SQL_PIPELINE_NODES
+ORACLES["multimodal_features"] = SQL_MULTIMODAL
+ORACLES["multimodal_byte_features"] = SQL_MULTIMODAL_BYTES

@@ -281,6 +281,38 @@ def world_entities(w: int, name: str) -> list[dict]:  # noqa: C901
             E.append(node(a, lx - 0.5, ly - 0.5 + 0.01 * i))
             E.append(node(b, ex, ey))
             river(wy(10 + i), [a, b], f"S{i}")
+    elif name == "w19_open_ring":
+        # multipolygon with an UNCLOSED outer ring: the Assembler errors the
+        # WHOLE area (no polygon row, nothing in the PIP index); the closed
+        # sibling relation in the same world still assembles normally
+        n, wy, rl = _ids(19)
+        ox, oy = _grid(19, 0)
+        sq = [(ox, oy), (ox + 0.2, oy), (ox + 0.2, oy + 0.2), (ox, oy + 0.2)]
+        for i, (px, py) in enumerate(sq, start=10):
+            E.append(node(n(i), px, py))
+        # three sides only: n10->n11->n12->n13, never back to n10
+        E.append(way(wy(1), [n(10), n(11), n(12)], {}))
+        E.append(way(wy(2), [n(12), n(13)], {}))
+        E.append(
+            relation(
+                rl(1),
+                [("way", wy(1), "outer"), ("way", wy(2), "outer")],
+                {"type": "multipolygon", "natural": "water", "name": "Open"},
+            )
+        )
+        cx = ox + 0.5
+        csq = [(cx, oy), (cx + 0.1, oy), (cx + 0.1, oy + 0.1), (cx, oy + 0.1)]
+        for i, (px, py) in enumerate(csq, start=20):
+            E.append(node(n(i), px, py))
+        E.append(way(wy(3), [n(20), n(21), n(22)], {}))
+        E.append(way(wy(4), [n(22), n(23), n(20)], {}))
+        E.append(
+            relation(
+                rl(2),
+                [("way", wy(3), "outer"), ("way", wy(4), "outer")],
+                {"type": "multipolygon", "natural": "water", "name": "Closed"},
+            )
+        )
     else:
         raise ValueError(f"unknown world {name}")
     return E
@@ -291,6 +323,7 @@ WORLD_NAMES = [
     "w05_type_error", "w06_rivermouth_pip", "w07_spring_end", "w08_fp_interior",
     "w09_degenerate_way", "w10_relation", "w11_incomplete_rel", "w12_multipolygon",
     "w13_widths", "w14_constructions", "w15_coastline", "w16_unnamed", "w17_skew",
+    "w19_open_ring",
 ]
 
 

@@ -55,43 +55,17 @@ def main() -> None:
     eff = round((thr32 / thr8) / 4.0, 3)
     pages = results[32]["pages"]
 
-    md = f"""# BENCH — measured results (round 1)
-
-Host note: this sandbox shows heavy *external* load (loadavg 10-15 with no
-local processes — hypervisor contention); identical workloads vary up to
-7x wall-clock. Numbers below are best-of-{repeats} per config, which is the
-closest available estimate of the engine's own steady-state behavior.
-
-## Pipeline throughput (end-to-end: extract -> locate -> assemble ->
-## connectivity -> pass3/4 PIP -> nodes + tiles)
-
-Input: {pages} synthetic pages (w18_scale, executor-side generation),
-identical for both configs. Warmed sessions (one tiny pipeline run first).
-
-| config | wall (s) | docs/sec |
-|---|---|---|
-| local[8]  (N)  | {results[8]['queries']['pipeline']} | {thr8} |
-| local[32] (4N) | {results[32]['queries']['pipeline']} | {thr32} |
-
-**Scaling efficiency (N -> 4N): eff = (thr_32 / thr_8) / 4 = {eff}**
-(pass bar >= 0.8 per BASELINE.json; see caveat on host noise above)
-
-Raw JSON:
-```
-local[8]:  {json.dumps(results[8])}
-local[32]: {json.dumps(results[32])}
-```
-
-## Reproduce
-
-```
-python scripts/scaling.py {chains} {repeats}
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py   # full query set
-```
-"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print(f"\neff={eff} -> BENCH.md written")
+    payload = {
+        "chains": chains, "pages": pages, "repeats": repeats,
+        "thr8": thr8, "thr32": thr32, "eff": eff,
+        "wall8": results[8]["queries"]["pipeline"],
+        "wall32": results[32]["queries"]["pipeline"],
+        "raw": {str(k): v for k, v in results.items()},
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+    print(f"\neff={eff} -> BENCH_SCALING.json written (fold into BENCH.md by hand)")
 
 
 if __name__ == "__main__":

@@ -173,3 +173,157 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         decode_stub(media)
+
+
+# ---------------- round-2: vectorized signatures + hot-bucket controls ----------------
+
+
+def _naive_simhash(text):
+    """Original per-doc formulation, kept as the equality reference."""
+    import hashlib
+
+    import numpy as _np
+
+    from osmi_water_spark.operators.dedup import _TOKEN_RE
+
+    toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+    if not toks:
+        return 0
+    acc = _np.zeros(64, dtype=_np.int64)
+    shifts = _np.arange(64, dtype=_np.uint64)
+    for t in toks:
+        h = _np.uint64(
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        )
+        acc += 2 * ((h >> shifts) & _np.uint64(1)).astype(_np.int64) - 1
+    out = int(((acc > 0).astype(_np.uint64) << shifts).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog " * 3,
+    "",
+    None,
+    "one",
+    "two tokens",
+    "exactly three tokens here no wait five",
+    "unicode tökens ünd zeug ß " * 10,
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 20,
+    "repeated repeated repeated repeated repeated",
+]
+
+
+def test_minhash_batch_matches_per_doc():
+    from osmi_water_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    batch = minhash_signatures_batch(TEXTS)
+    for i, t in enumerate(TEXTS):
+        want = minhash_signature(t or "")
+        assert (batch[i] == want).all(), f"doc {i} signature diverged"
+
+
+def test_minhash_batch_chunking_boundary(monkeypatch):
+    import osmi_water_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "_PERM_CHUNK", 7)  # force many tiny chunks
+    batch = D.minhash_signatures_batch(TEXTS)
+    for i, t in enumerate(TEXTS):
+        assert (batch[i] == D.minhash_signature(t or "")).all()
+
+
+def test_simhash_batch_matches_per_doc():
+    from osmi_water_spark.operators.dedup import simhash_batch
+
+    got = simhash_batch(TEXTS)
+    for i, t in enumerate(TEXTS):
+        assert got[i] == _naive_simhash(t), f"doc {i} simhash diverged"
+
+
+def test_lsh_salt_invariance(spark):
+    from osmi_water_spark.operators.dedup import lsh_candidate_pairs, minhash_bands
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    rows = [(i, base + f" tail{i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b = minhash_bands(df).cache()
+    plain = {(r.a, r.b) for r in lsh_candidate_pairs(b).collect()}
+    salted = {(r.a, r.b) for r in lsh_candidate_pairs(b, salt=4).collect()}
+    assert plain == salted and len(plain) > 0
+
+
+def test_lsh_hot_bucket_star_cap(spark):
+    """Adversarial all-identical corpus: every doc lands in one bucket per
+    band. With max_bucket set, the pair count is linear (star to the min-id
+    representative), not quadratic, and connectivity is preserved."""
+    from osmi_water_spark.operators.dedup import lsh_candidate_pairs, minhash_bands
+
+    n = 64
+    rows = [(i, "identical boilerplate page content " * 10) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(minhash_bands(df), max_bucket=16).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert got == {(0, i) for i in range(1, n)}  # star on min id
+
+
+def test_minhash_near_dups_with_cap_still_verifies(spark):
+    from osmi_water_spark.operators.dedup import minhash_near_dups
+
+    rows = [(i, "identical boilerplate page content " * 10) for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_near_dups(df, threshold=0.9, salt=2, max_bucket=8).collect()
+    assert {(r.a, r.b) for r in out} == {(0, i) for i in range(1, 32)}
+    assert all(r.jaccard == 1.0 for r in out)
+
+
+def test_embedding_near_dups_salt_and_cap(spark):
+    import numpy as _np
+
+    from osmi_water_spark.operators.dedup import embedding_near_dups
+
+    rng = _np.random.RandomState(7)
+    v = rng.randn(64)
+    rows = [(i, (v + rng.randn(64) * 0.01).tolist()) for i in range(12)]
+    rows += [(100 + i, rng.randn(64).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = {(r.a, r.b) for r in embedding_near_dups(df, threshold=0.95).collect()}
+    salted = {(r.a, r.b) for r in embedding_near_dups(df, threshold=0.95, salt=3).collect()}
+    assert plain == salted and len(plain) >= 60  # 12 near-identical vectors
+    capped = {(r.a, r.b) for r in embedding_near_dups(df, threshold=0.95, max_bucket=4).collect()}
+    # star: every clustered vector still reachable from the bucket rep
+    members = {b for _, b in capped} | {a for a, _ in capped}
+    assert {i for i in range(12)} <= members
+
+
+def test_bruteforce_query_guard(spark, emb):
+    from osmi_water_spark.operators.similarity import cosine_topk_bruteforce
+
+    with pytest.raises(ValueError):
+        cosine_topk_bruteforce(emb, emb, k=3, max_queries=10)
+
+
+def test_byte_features_known_values(spark):
+    """Codec-free multimodal features: hand-computable payloads."""
+    from osmi_water_spark.operators.multimodal import byte_features
+
+    rows = [
+        (0, "image", bytearray(b"\x00" * 64), None),
+        (1, "audio", bytearray(bytes(range(256))), None),
+        (2, "video", bytearray(b"A" * 10 + b"\x00" * 10), None),
+        (3, "image", bytearray(b""), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    got = {r.media_id: r for r in byte_features(df).collect()}
+    assert got[0].entropy == 0.0 and got[0].frac_printable == 0.0
+    assert got[0].mean_byte == 0.0 and got[0].n_bytes == 64
+    assert abs(got[1].entropy - 8.0) < 1e-12          # uniform 256 symbols
+    assert got[1].mean_byte == 127.5
+    assert abs(got[2].entropy - 1.0) < 1e-12          # two equal symbols
+    assert got[2].frac_printable == 0.5
+    assert got[3].n_bytes == 0 and got[3].entropy == 0.0

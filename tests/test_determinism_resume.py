@@ -75,3 +75,21 @@ def test_rerun_overwrite_consistency(spark, tmp_path):
     ka = _nodes_key(a)
     b = run_pipeline(spark, pages, out_dir=out_dir, resume=False, with_lineage=False)
     assert _nodes_key(b) == ka
+
+
+def test_sink_seam_validation():
+    """The writer seam (pipeline.Sink): format routing is code, not prose.
+    Parquet is the exercised branch (every checkpoint test in this file
+    goes through it); Iceberg is validated at construction."""
+    import pytest as _pytest
+
+    from osmi_water_spark.plans.pipeline import Sink
+
+    with _pytest.raises(ValueError):
+        Sink("/tmp/x", fmt="orc")
+    with _pytest.raises(ValueError):
+        Sink("/tmp/x", fmt="iceberg")  # catalog required
+    s = Sink("/tmp/x", fmt="iceberg", catalog="prod.db")
+    assert s._table("nodes") == "prod.db.nodes"
+    p = Sink("/tmp/x")
+    assert p.path("nodes") == "/tmp/x/nodes"

@@ -84,6 +84,7 @@ WORLD_GROUPS = [
     ["w05_type_error"], ["w06_rivermouth_pip"], ["w07_spring_end"], ["w08_fp_interior"],
     ["w09_degenerate_way"], ["w10_relation"], ["w11_incomplete_rel"], ["w12_multipolygon"],
     ["w13_widths"], ["w14_constructions"], ["w15_coastline"], ["w16_unnamed"], ["w17_skew"],
+    ["w19_open_ring"],
 ]
 
 
@@ -119,3 +120,15 @@ def test_semantic_spotchecks(spark):
     # w09: both degenerate ways -> way_error rows
     for k in (9 * 100_000 + 1, 9 * 100_000 + 2):
         assert nodes[str(k)][7] == "true"
+
+
+def test_open_ring_fails_whole_area(spark):
+    """w19: the unclosed multipolygon produces NO polygon row (Assembler
+    errors the area — partial rings must not leak); the closed sibling
+    in the same world assembles. Independent of the oracle."""
+    got = spark_tables(spark, ["w19_open_ring"])
+    names_by_rel = {p[1]: p[3] for p in got["polygons"]}
+    rel_base = 19 * 100_000 + 80_000
+    assert rel_base + 1 not in names_by_rel          # Open: errored, absent
+    assert names_by_rel.get(rel_base + 2) == "Closed"
+    assert len(got["polygons"]) == 1

@@ -43,8 +43,13 @@ def test_predicate_pushdown_reaches_scan(spark):
 
 def test_pip_scan_reads_keys_only(spark):
     p = plan_of(Q.q_j5_pip(spark, SF))
+    # point side: column-pruned to the key the synthetic lon/lat derive from
     assert "ReadSchema: struct<c_custkey:bigint>" in p
-    assert "ReadSchema: struct<n_nationkey:int>" in p
+    # probe mode: the (small) polygon side is consumed driver-side into the
+    # broadcast cell index — the distributed plan is scan -> mapInArrow ->
+    # pair dedup with NO join and no point-side explode at all
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 def test_no_row_at_a_time_python(spark):
@@ -61,3 +66,39 @@ def test_tag_predicates_are_codegen(spark):
     p = plan_of(Q.q_f1_is_waterway_way(spark, SF))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CASE WHEN" in p
+
+
+def test_bucketed_checkpoint_skips_exchange(spark, tmp_path):
+    """Sink bucket_spec: a checkpoint written bucketed on the join key is
+    read back pre-partitioned — the join plans ONE Exchange (the derived
+    side) instead of two. At 100 TB this is 'shuffle the node table once
+    at ingest, never again'."""
+    from pyspark.sql import functions as F
+
+    from osmi_water_spark.plans.pipeline import Sink
+
+    sink = Sink(str(tmp_path), bucket_spec={"entities": (4, "id")})
+    df = spark.range(1000).select("id", (F.col("id") * 2).alias("v"))
+    sink.write(df, "entities")
+    back = sink.read(spark, "entities")
+    other = spark.range(500).select((F.col("id") * 3 % 1000).alias("id"), F.lit(1).alias("w"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        joined = back.join(other, "id").select("id", "v", "w")
+        p = plan_of(joined)
+        # exactly ONE Exchange node: the non-bucketed side. The bucketed
+        # scan must feed the SortMergeJoin through Sort only.
+        n_exchanges = p.count("Exchange (")
+        assert n_exchanges == 1, f"expected 1 Exchange (non-bucketed side), plan:\n{p}"
+        assert "Bucketed: true" in p, p
+        # round-trip sanity: same result as the plain-parquet path
+        plain = Sink(str(tmp_path / "plain"))
+        plain.write(df, "entities")
+        want = plain.read(spark, "entities").join(other, "id").select(F.sum("v")).first()[0]
+        assert joined.select(F.sum("v")).first()[0] == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.sql("DROP TABLE IF EXISTS " + sink._bucket_table("entities"))
