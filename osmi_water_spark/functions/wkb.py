@@ -287,10 +287,14 @@ class FlatPolygonIndex:
         return owner, np.repeat(starts, counts) + within
 
     def eval(self, px: np.ndarray, py: np.ndarray, row_key: np.ndarray,
-             max_edge_instances: int = 4_000_000) -> np.ndarray:
+             max_edge_instances: int = 131_072) -> np.ndarray:
         """Containment of point i in ANY part of key row_key[i] (int key
         ids from ``key_id``; negative = no key -> False). One vectorized
-        pass, chunked on (point, part) pairs to bound peak memory."""
+        pass, chunked on (point, part) pairs. The chunk bound is a CACHE
+        budget, not a memory cap: ~128k edge instances keeps the ~12
+        temporaries (~12 MB) L3-resident — at 4M instances the eval went
+        DRAM-bound and 32 contending workers measured 16x slower per core
+        (the round-1 8->32 scaling-efficiency miss)."""
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         n = len(px)

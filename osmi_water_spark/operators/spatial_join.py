@@ -114,12 +114,16 @@ def _probe_refine(
         kk = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
         if rows.size == 0:
             continue
-        # a (point, area) pair can arrive once per resolution — dedup
-        order = np.lexsort((rows, kk))
-        sr, sk = rows[order], kk[order]
-        uniq = np.ones(order.size, dtype=bool)
-        uniq[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
-        rows, kk = sr[uniq], sk[uniq]
+        if len(probe.res_list) > 1:
+            # a (point, area) pair can arrive once per resolution — dedup.
+            # (Single-res probes skip this: candidates() emits pairs already
+            # sorted and unique — rows ascend, the per-cell key list is
+            # sorted+deduped at build time.)
+            order = np.lexsort((rows, kk))
+            sr, sk = rows[order], kk[order]
+            uniq = np.ones(order.size, dtype=bool)
+            uniq[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+            rows, kk = sr[uniq], sk[uniq]
         keep = probe.index.eval(lon[rows], lat[rows], kk)
         rsel, ksel = rows[keep], kk[keep]
         arrays = [
@@ -177,6 +181,7 @@ def pip_join(
     broadcast_parts: bool | None = None,
     dedup_pairs: bool = True,
     carry_lonlat: bool = False,
+    unique_points: bool = False,
 ) -> DataFrame:
     """points(point_id, lon, lat) x parts(area_key, part_wkb, minx..maxy)
     -> contained pairs (point_id, area_key), deduplicated.
@@ -189,6 +194,10 @@ def pip_join(
     as a broadcast dict and the join/shuffle carries only (cell, area_key,
     bbox) — at wide-polygon scale the per-candidate WKB payload is the
     shuffle bottleneck. None = auto (broadcast when <= 200k parts).
+
+    ``unique_points``: caller-declared contract that ``point_id`` values are
+    unique. In probe mode this makes the join fully shuffle-free (the
+    in-batch dedup already guarantees pair uniqueness per input row).
     """
     spark = points.sparkSession
     cover = polygon_parts.withColumn(
@@ -280,12 +289,14 @@ def pip_join(
             refined = points.select("point_id", "lon", "lat").mapInArrow(
                 lambda it: _probe_refine(it, bcp.value, carry_lonlat), schema
             )
-            # pairs are already unique per input row (in-batch dedup across
-            # resolutions); the global dedup only collapses duplicate input
-            # point_ids, preserving pip_join's declared contract
+            # pairs are already unique per input ROW (in-batch dedup across
+            # resolutions), so the global dedup only collapses duplicate
+            # input point_ids. When the caller declares ids unique
+            # (``unique_points``) the result is shuffle-FREE end to end —
+            # scan -> mapInArrow -> done.
             return (
                 refined.dropDuplicates(["point_id", "area_key"])
-                if dedup_pairs else refined
+                if dedup_pairs and not unique_points else refined
             )
         bc = spark.sparkContext.broadcast(index)
         cand = pts.join(

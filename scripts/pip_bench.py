@@ -81,7 +81,7 @@ def main() -> None:
     t0 = time.time()
     # lon/lat carried through the refine: tile assignment is a narrow map,
     # no join back to the point table
-    pairs = pip_join(pts, parts, salt=8, carry_lonlat=True)
+    pairs = pip_join(pts, parts, salt=8, carry_lonlat=True, unique_points=True)
     out = pairs.select(
         "point_id", "area_key", C.tile_id(F.col("lon"), F.col("lat"), 8).alias("tile_id")
     )
