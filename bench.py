@@ -51,9 +51,11 @@ def main() -> None:
         return n
 
     # warm the JVM / codegen / Arrow-worker paths so the timed window
-    # measures steady-state throughput, not session startup
+    # measures steady-state throughput, not session startup. The warm input
+    # must be big enough to trigger C2 JIT of the hot codegen loops (a
+    # 20-chain warm left the first timed run paying 2-4x JIT cost).
     spark.range(1000).select(F.sum("id")).collect()
-    warm = scale_pages_df(spark, 20).cache()
+    warm = scale_pages_df(spark, min(1000, max(100, chains // 8))).cache()
     warm.count()
     wout = run_pipeline(spark, warm, out_dir=None, with_lineage=False)
     for k in ("ways", "relations", "polygons", "nodes"):

@@ -67,9 +67,13 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
-# flat-array permutation work is chunked so the (64, S) int64 intermediate
-# stays ~256 MB regardless of Arrow batch size
-_PERM_CHUNK = 512_000
+# flat-array permutation work is chunked so each (64, S) int64 intermediate
+# stays ~8 MB: small enough to be L3-resident AND to be served from reused
+# heap pages after the first iteration. Big fresh allocations are poison in
+# this sandbox — first-touch page faults cost 100-400x normal (measured:
+# one 133 MB numpy op = 16 s cold in a fresh pyspark worker, 0.04 s warm),
+# and they're a real (if smaller) cost on any machine.
+_PERM_CHUNK = 16_384
 
 
 def minhash_signatures_batch(texts, n: int = 3) -> np.ndarray:
@@ -152,8 +156,14 @@ def lsh_candidate_pairs(
       representative); only redundant intra-cluster edges are dropped.
       Over-cap buckets are all-same-signature groups, i.e. near-certain
       duplicate clusters — the exact-verify stage still gates each kept edge.
+
+    The bucket rows are repartitioned ONCE up front: every branch below
+    (sizes agg, small/big splits, both self-join sides) then reads the same
+    reused Exchange instead of re-running the signature UDF per reference —
+    and a single-partition input (one small parquet file) stops serializing
+    the whole signature pass onto one core.
     """
-    b = bucketed
+    b = bucketed.repartition("band", "band_hash")
     if max_bucket is not None:
         sizes = b.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
         b = b.join(sizes, ["band", "band_hash"], "inner")
@@ -280,9 +290,23 @@ def simhash_batch(texts) -> np.ndarray:
     lengths = np.diff(np.array(offsets, dtype=np.int64))
     nonempty = np.flatnonzero(lengths > 0)
     starts = np.array(offsets, dtype=np.int64)[nonempty]
+    ends = starts + lengths[nonempty]
     shifts = np.arange(64, dtype=np.uint64)
-    contrib = (2 * ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1)
-    acc = np.add.reduceat(contrib, starts, axis=0)  # (n_nonempty, 64)
+    # chunk the (T, 64) sign expansion on doc boundaries (~16k tokens ->
+    # ~8 MB intermediates): keeps the working set cache-resident and on
+    # reused heap pages (see _PERM_CHUNK note on first-touch fault cost)
+    acc = np.empty((nonempty.size, 64), dtype=np.int64)
+    doc_lo = 0
+    while doc_lo < nonempty.size:
+        doc_hi = doc_lo + 1
+        while doc_hi < nonempty.size and ends[doc_hi - 1] - starts[doc_lo] < 16_384:
+            doc_hi += 1
+        lo, hi = starts[doc_lo], ends[doc_hi - 1]
+        contrib = (
+            2 * ((h[lo:hi, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
+        )
+        acc[doc_lo:doc_hi] = np.add.reduceat(contrib, starts[doc_lo:doc_hi] - lo, axis=0)
+        doc_lo = doc_hi
     packed = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1)
     out[nonempty] = packed.view(np.int64)  # two's-complement reinterpret
     return out
@@ -307,6 +331,9 @@ def simhash_candidates(docs: DataFrame, text_col="text", id_col="doc_id",
     b = sh.select("doc_id", "sh", F.explode(F.array(*chunk_cols)).alias("cc")).select(
         "doc_id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
     )
+    # one shared Exchange: the simhash UDF runs once (in parallel even off a
+    # single-partition file); both self-join sides reuse it
+    b = b.repartition("chunk", "val")
     l = b.select("chunk", "val", F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     r = b.select("chunk", "val", F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     pairs = (
@@ -347,7 +374,7 @@ def embedding_near_dups(
     b = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col)).alias("bucket"),
-    )
+    ).repartition("bucket")  # shared Exchange: bucket UDF once, all readers reuse
     star = None
     if max_bucket is not None:
         sizes = b.groupBy("bucket").agg(F.count("*").alias("bsz"))

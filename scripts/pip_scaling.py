@@ -1,10 +1,16 @@
 """PIP-operator scaling evidence (BASELINE.json north rule): the same
-probe-mode PIP+tile job at local[8] vs local[32] on identical input,
-reporting points/sec at both widths and efficiency = (thr32/thr8)/4.
+probe-mode PIP+tile job at two parallelism widths (N vs 4N) on identical
+input, reporting points/sec at both and efficiency = throughput ratio /
+width ratio.
 
-Interleaved rounds (8,32,8,32,...) with a fresh Spark session per round
-and best-of-K in-session runs guard against the sandbox host's background
-load drift (observed 3-7x wall noise).
+Interleaved rounds with a fresh Spark session per round and best-of-K
+in-session runs guard against the sandbox host's background load drift
+(observed 3-7x wall noise). Each round ALSO runs a same-window host
+control: a multiprocessing pool of the identical Python refine kernel at
+the same width — the ratio of control throughputs is what the *host* can
+scale in that window (shared microVM; neighbours steal cores and DRAM
+bandwidth), so `eff_vs_host = spark_eff / control_eff` separates the
+engine's scaling from the box's.
 
 Usage: python scripts/pip_scaling.py [n_points] [rounds] [runs_per_round] [N] [4N]
 (widths default 8 and 32; on a contended host 2 vs 8 needs only 8 free
@@ -49,13 +55,87 @@ print("RESULT", json.dumps({{"cpus": cpus, "best_wall": round(best, 3)}}))
 spark.stop()
 """
 
+CONTROL = r"""
+import time, sys, json
+sys.path.insert(0, "{repo}")
+import numpy as np, pyarrow as pa
+from multiprocessing import Pool
 
-def run_round(cpus: int, n_points: int, runs: int) -> float:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_points=n_points, runs=runs)
+def _build_probe():
+    from osmi_water_spark.functions import wkb as W
+    from osmi_water_spark.operators.spatial_join import CellProbeIndex
+    n_polys = 20000
+    ids = np.arange(n_polys)
+    x0 = ((ids*29) % 3000)/10.0 - 150.0 + 0.025
+    y0 = ((ids*31) % 1400)/10.0 - 70.0 + 0.025
+    x1, y1 = x0+2.3, y0+1.7
+    items = []
+    for i in range(n_polys):
+        r = np.array([[x0[i],y0[i]],[x1[i],y0[i]],[x1[i],y1[i]],
+                      [x0[i],y1[i]],[x0[i],y0[i]]])
+        items.append((str(i), W.wkb_polygon([r])))
+    index = W.FlatPolygonIndex.build(items)
+    res = 7; n = 1 << res
+    pairs = []
+    for i in range(n_polys):
+        ix0 = int(np.floor((x0[i]+180)/360*n)); ix1 = int(np.floor((x1[i]+180)/360*n))
+        iy0 = int(np.floor((y0[i]+90)/180*n)); iy1 = int(np.floor((y1[i]+90)/180*n))
+        for iy in range(iy0, iy1+1):
+            for ix in range(ix0, ix1+1):
+                pairs.append(((res<<58)+(iy<<29)+ix, i))
+    return CellProbeIndex(np.asarray(pairs, dtype=np.int64), index, [7],
+                          [str(i) for i in range(n_polys)])
+
+PROBE = None
+def _init():
+    global PROBE
+    PROBE = _build_probe()
+
+def _work(seed):
+    from osmi_water_spark.operators.spatial_join import _probe_refine
+    n = 100_000
+    pid = np.arange(seed*n, (seed+1)*n, dtype=np.int64)
+    lon = ((pid*97) % 350000)/1000.0 - 174.95
+    lat = ((pid*211) % 160000)/1000.0 - 79.95
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(pid), pa.array(lon), pa.array(lat)],
+        ["point_id", "lon", "lat"])
+    t0 = time.time()
+    for _ in range(8):
+        list(_probe_refine(iter([rb]), PROBE, True))
+    return time.time() - t0
+
+if __name__ == "__main__":
+    procs = {cpus}
+    with Pool(procs, initializer=_init) as p:
+        p.map(_work, range(procs))          # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            p.map(_work, range(procs))
+            w = time.time() - t0
+            best = w if best is None or w < best else best
+    print("RESULT", json.dumps(
+        {{"cpus": procs, "control_wall": round(best, 3),
+          "control_pts": procs * 800_000}}))
+"""
+
+
+def _run(code: str) -> dict:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=1800, cwd=REPO)
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
-    return json.loads(line[7:])["best_wall"]
+    return json.loads(line[7:])
+
+
+def run_round(cpus: int, n_points: int, runs: int) -> float:
+    return _run(CHILD.format(repo=REPO, cpus=cpus, n_points=n_points,
+                             runs=runs))["best_wall"]
+
+
+def run_control(cpus: int) -> float:
+    r = _run(CONTROL.format(repo=REPO, cpus=cpus))
+    return r["control_pts"] / r["control_wall"]
 
 
 def main() -> None:
@@ -65,20 +145,31 @@ def main() -> None:
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     best: dict[int, float] = {}
+    ctl_best: dict[int, float] = {}
     for r in range(rounds):
         for cpus in (lo, hi):
             w = run_round(cpus, n_points, runs)
+            c = run_control(cpus)
             print(f"round {r} cpus={cpus}: best {w}s "
-                  f"({n_points/w:,.0f} pts/s)", flush=True)
+                  f"({n_points/w:,.0f} pts/s) | host control {c:,.0f} pts/s",
+                  flush=True)
             if cpus not in best or w < best[cpus]:
                 best[cpus] = w
+            if cpus not in ctl_best or c > ctl_best[cpus]:
+                ctl_best[cpus] = c
     thr_lo, thr_hi = n_points / best[lo], n_points / best[hi]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3)
+    ctl_eff = round((ctl_best[hi] / ctl_best[lo]) / (hi / lo), 3)
     payload = {
         "points": n_points, "polys": 20000, "rounds": rounds,
         "runs_per_round": runs, "widths": [lo, hi],
         f"wall{lo}": round(best[lo], 3), f"wall{hi}": round(best[hi], 3),
         f"thr{lo}": round(thr_lo, 1), f"thr{hi}": round(thr_hi, 1),
-        "eff": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "eff": eff,
+        f"control_thr{lo}": round(ctl_best[lo], 1),
+        f"control_thr{hi}": round(ctl_best[hi], 1),
+        "control_eff": ctl_eff,
+        "eff_vs_host": round(eff / ctl_eff, 3) if ctl_eff else None,
     }
     with open(os.path.join(REPO, f"PIP_SCALING_{lo}v{hi}.json"), "w") as f:
         json.dump(payload, f, indent=2)

@@ -8,7 +8,8 @@ R times and takes the best run — the sandbox host has heavy background
 load (observed 3-7x wall-clock noise), and best-of-R isolates the
 engine's own scaling from host contention.
 
-Usage: python scripts/scaling.py [chains] [repeats]   (writes BENCH.md)
+Usage: python scripts/scaling.py [chains] [repeats] [N] [4N]
+(widths default 8 and 32; writes BENCH_SCALING_{N}v{4N}.json)
 """
 
 from __future__ import annotations
@@ -40,32 +41,35 @@ def run_once(cpus: int, chains: int) -> dict:
 def main() -> None:
     chains = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     results: dict[int, dict] = {}
-    for cpus in (8, 32):
-        best = None
-        for i in range(repeats):
+    # interleave widths so host-load drift hits both equally
+    for i in range(repeats):
+        for cpus in (lo, hi):
             r = run_once(cpus, chains)
             print(f"cpus={cpus} run{i}: {r['value']} docs/sec "
                   f"({r['queries']['pipeline']}s, {r['pages']} pages)", flush=True)
-            if best is None or r["value"] > best["value"]:
-                best = r
-        results[cpus] = best
+            if cpus not in results or r["value"] > results[cpus]["value"]:
+                results[cpus] = r
 
-    thr8, thr32 = results[8]["value"], results[32]["value"]
-    eff = round((thr32 / thr8) / 4.0, 3)
-    pages = results[32]["pages"]
+    thr_lo, thr_hi = results[lo]["value"], results[hi]["value"]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3)
+    pages = results[hi]["pages"]
 
     payload = {
         "chains": chains, "pages": pages, "repeats": repeats,
-        "thr8": thr8, "thr32": thr32, "eff": eff,
-        "wall8": results[8]["queries"]["pipeline"],
-        "wall32": results[32]["queries"]["pipeline"],
+        "widths": [lo, hi],
+        f"thr{lo}": thr_lo, f"thr{hi}": thr_hi, "eff": eff,
+        f"wall{lo}": results[lo]["queries"]["pipeline"],
+        f"wall{hi}": results[hi]["queries"]["pipeline"],
         "raw": {str(k): v for k, v in results.items()},
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out = os.path.join(REPO, f"BENCH_SCALING_{lo}v{hi}.json")
+    with open(out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
-    print(f"\neff={eff} -> BENCH_SCALING.json written (fold into BENCH.md by hand)")
+    print(f"\neff={eff} -> {out} written (fold into BENCH.md by hand)")
 
 
 if __name__ == "__main__":

@@ -104,3 +104,71 @@ def test_empty_polygon_side_carries_lonlat_schema(spark):
     assert out.count() == 0
     # downstream select of lon/lat must not raise
     assert out.select("lon", "lat").count() == 0
+
+
+# ---------------- pure-numpy unit tests (no Spark session) ----------------
+
+
+def test_flat_index_chunk_invariance():
+    """eval() must be chunking-invariant: the max_edge_instances bound is a
+    cache budget, never a semantic knob."""
+    import numpy as np
+
+    from osmi_water_spark.functions import wkb as W
+
+    rng = np.random.RandomState(7)
+    items = []
+    for i in range(50):
+        cx, cy = rng.uniform(-10, 10, 2)
+        n = rng.randint(3, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 2.0, n)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        items.append((f"k{i % 20}", W.wkb_polygon([ring])))  # keys repeat
+    idx = W.FlatPolygonIndex.build(items)
+    px = rng.uniform(-12, 12, 5000)
+    py = rng.uniform(-12, 12, 5000)
+    keys = rng.randint(0, 20, 5000)
+    ref = idx.eval(px, py, keys, max_edge_instances=10**9)
+    for chunk in (17, 1000, 131_072):
+        got = idx.eval(px, py, keys, max_edge_instances=chunk)
+        assert (got == ref).all(), chunk
+
+
+def test_cell_probe_candidates():
+    """candidates() expands each cell to its (sorted, deduped) key list and
+    emits (row, key) pairs already lexicographically sorted and unique when
+    a single resolution is probed — the fast path in _probe_refine relies
+    on this."""
+    import numpy as np
+
+    from osmi_water_spark.functions import wkb as W
+    from osmi_water_spark.operators.spatial_join import CellProbeIndex
+
+    ring = np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]])
+    index = W.FlatPolygonIndex.build([("a", W.wkb_polygon([ring]))])
+    # cover: cell 10 -> keys {1,0} (dup 0), cell 20 -> {2}
+    pairs = np.array([[10, 1], [10, 0], [10, 0], [20, 2]], dtype=np.int64)
+    probe = CellProbeIndex(pairs, index, [7], ["a", "b", "c"])
+    rows, kk = probe.candidates(np.array([20, 10, 99, 10], dtype=np.int64))
+    got = list(zip(rows.tolist(), kk.tolist()))
+    assert got == [(0, 2), (1, 0), (1, 1), (3, 0), (3, 1)]
+    # sorted + unique as claimed
+    assert got == sorted(set(got))
+
+
+def test_np_cell_of_matches_formula():
+    import numpy as np
+
+    from osmi_water_spark.functions import cells as C
+
+    lon = np.array([-180.0, -0.1, 0.0, 179.99, 180.0])
+    lat = np.array([-90.0, 45.0, 0.0, -0.1, 90.0])
+    res = 7
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, hi).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, hi).astype(np.int64)
+    want = (np.int64(res) << 58) + (iy << 29) + ix
+    assert (C.np_cell_of(lon, lat, res) == want).all()
