@@ -61,3 +61,65 @@ def stream_text_quality(
         "warc_ts", "lang", (quality_score(F.col("text")) / 10).cast("int").alias("q_bucket")
     )
     return scored.groupBy(F.window("warc_ts", window), "lang", "q_bucket").count()
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup over the arriving page stream: first
+    occurrence of each content hash within the watermark horizon is kept,
+    later copies are dropped.
+
+    The 100-TB shape: ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only until the watermark passes — state is bounded by the duplication
+    horizon, not the corpus. (An unbounded-state ``dropDuplicates`` would
+    grow forever on an endless crawl.) Returns the streaming DataFrame;
+    caller attaches the sink."""
+    pages = spark.readStream.schema(PAGES).parquet(pages_dir)
+    hashed = pages.withColumn("text_hash", F.md5(F.col("text"))).withWatermark(
+        "warc_ts", watermark
+    )
+    return hashed.dropDuplicatesWithinWatermark(["text_hash"])
+
+
+_LANG_STATS_OUT = "lang string, docs_seen long, mean_quality double"
+_LANG_STATS_STATE = "n long, q_sum double"
+
+
+def stream_lang_stats(
+    spark: SparkSession,
+    pages_dir: str,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-language document count and mean quality score, updated
+    every micro-batch and carried across restarts by the state store.
+
+    This is the engine's demonstration of arbitrary stateful processing —
+    the escape hatch for streaming semantics Spark's built-in aggregations
+    can't express (the built-in windowed agg is stream_text_quality).
+    State per key is two scalars, so a million languages cost ~MBs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from osmi_water_spark.operators.text import quality_score
+
+    pages = spark.readStream.schema(PAGES).parquet(pages_dir)
+    scored = pages.select("lang", quality_score(F.col("text")).alias("q"))
+
+    def update(key, pdfs, state: GroupState):
+        n, q_sum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            q_sum += float(pdf["q"].sum())
+        state.update((n, q_sum))
+        yield pd.DataFrame(
+            {"lang": [key[0]], "docs_seen": [n],
+             "mean_quality": [q_sum / n if n else 0.0]}
+        )
+
+    return scored.groupBy("lang").applyInPandasWithState(
+        update, _LANG_STATS_OUT, _LANG_STATS_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

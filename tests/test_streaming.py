@@ -55,3 +55,66 @@ def test_stream_quality_plan(spark, tmp_path):
     # append-mode window agg emits only watermark-closed windows (none here);
     # the point is the query runs end-to-end
     spark.sql("select * from quality_counts").collect()
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """First occurrence of each content hash survives; later copies (same
+    text, later batch within the watermark) are dropped."""
+    from osmi_water_spark.streaming.incremental import stream_exact_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    rows = PG.pages_rows(["w01_chain"])
+    _write_pages(spark, rows, pages_dir)
+    # duplicate the same pages again (same text, same timestamps)
+    _write_pages(spark, rows, pages_dir)
+
+    deduped = stream_exact_dedup(spark, pages_dir)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from dedup_out").toPandas()
+    n_unique = len({r["text"] for r in rows})
+    assert len(got) == n_unique
+    assert got["text_hash"].nunique() == len(got)
+
+
+def test_stream_lang_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: the running per-lang stats accumulate across
+    micro-batches via the state store (restart carries state forward)."""
+    from osmi_water_spark.streaming.incremental import stream_lang_stats
+
+    pages_dir = str(tmp_path / "pages")
+    ck = str(tmp_path / "ck2")
+    rows = PG.pages_rows(["w01_chain"])
+    _write_pages(spark, rows, pages_dir)
+
+    out_dir = str(tmp_path / "stats_out")
+
+    def run_once():
+        out = stream_lang_stats(spark, pages_dir)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).toPandas()
+
+    got1 = run_once()
+    assert got1["docs_seen"].sum() == len(rows)
+
+    # second wave of files -> restarted query resumes state and counts BOTH
+    _write_pages(spark, rows, pages_dir)
+    got2 = run_once()
+    # latest update per lang reflects the running (cross-restart) total
+    latest = got2.groupby("lang")["docs_seen"].max()
+    assert latest.sum() == 2 * len(rows)
