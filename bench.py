@@ -50,6 +50,24 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         return n
 
+    def timed2(name, fn):
+        """Best-of-2 for secondary ops (the same treatment the pipeline
+        gets): this sandbox host shows up to 7x external window variance,
+        and round 2's committed record let ONE bad window write a 3x
+        'regression' for minhash that BENCH.md's warm number contradicted.
+        clearCache between runs — CacheManager is plan-keyed, an identical
+        second plan would silently read the first run's cache."""
+        t0 = time.time()
+        fn()
+        r1 = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        r2 = round(time.time() - t0, 3)
+        times[name] = min(r1, r2)
+        times[f"{name}_run1"] = r1
+        times[f"{name}_run2"] = r2
+
     # warm the JVM / codegen / Arrow-worker paths so the timed window
     # measures steady-state throughput, not session startup. The warm input
     # must be big enough to trigger C2 JIT of the hot codegen loops (a
@@ -107,25 +125,37 @@ def main() -> None:
     simhash_near_dups(docs_small).count()
     docs_small.unpersist()
 
-    timed("pip_join", lambda: Q.q_j5_pip(spark, sf_dir).count())
-    timed("pip_join_salted", lambda: Q.q_j5_pip_salted(spark, sf_dir).count())
-    timed("connectivity", lambda: Q.q_j3_connectivity(spark, sf_dir).count())
-    timed("locate", lambda: Q.q_j1_locate(spark, sf_dir).count())
-    timed("knn", lambda: Q.q_j6_knn(spark, sf_dir).count())
-    timed("tiles", lambda: Q.q_tiles(spark, sf_dir).count())
-    timed("map_layers", lambda: Q.q_map_layers(spark, sf_dir).count())
-    timed("dedup_exact", lambda: Q.q_dedup_exact(spark, sf_dir).count())
-    timed("minhash_near_dups", lambda: Q.q_minhash_near_dups(spark, sf_dir).count())
-    timed("simhash_near_dups", lambda: Q.q_simhash_near_dups(spark, sf_dir).count())
-    timed("embedding_near_dups", lambda: Q.q_embedding_near_dups(spark, sf_dir).count())
-    timed("ann_bruteforce", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
-    timed("text_stats", lambda: Q.q_text_stats(spark, sf_dir).count())
-    timed("map_layers_relations", lambda: Q.q_map_layers_relations(spark, sf_dir).count())
+    # minhash/simhash BENCH numbers measure the operators over the sf
+    # documents table (the correctness queries now run the deterministic
+    # fixture corpus, which would be trivially small here)
+    from osmi_water_spark.operators.dedup import (
+        minhash_near_dups as _mh, simhash_near_dups as _sh,
+    )
+    docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # pipeline_run1/2 are raw repeats of the same work already counted under
-    # "pipeline" (the min) — exclude them so the total isn't triple-counted
+    timed2("pip_join", lambda: Q.q_j5_pip(spark, sf_dir).count())
+    timed2("pip_join_salted", lambda: Q.q_j5_pip_salted(spark, sf_dir).count())
+    timed2("connectivity", lambda: Q.q_j3_connectivity(spark, sf_dir).count())
+    timed2("locate", lambda: Q.q_j1_locate(spark, sf_dir).count())
+    timed2("knn", lambda: Q.q_j6_knn(spark, sf_dir).count())
+    timed2("tiles", lambda: Q.q_tiles(spark, sf_dir).count())
+    timed2("map_layers", lambda: Q.q_map_layers(spark, sf_dir).count())
+    timed2("dedup_exact", lambda: Q.q_dedup_exact(spark, sf_dir).count())
+    timed2("minhash_near_dups", lambda: _mh(docs_sf, threshold=0.5).count())
+    timed2("simhash_near_dups", lambda: _sh(docs_sf, max_hamming=8).count())
+    timed2("embedding_near_dups", lambda: Q.q_embedding_near_dups(spark, sf_dir).count())
+    timed2("ann_bruteforce", lambda: Q.q_ann_cosine_topk(spark, sf_dir).count())
+    timed2("text_stats", lambda: Q.q_text_stats(spark, sf_dir).count())
+    timed2("map_layers_relations", lambda: Q.q_map_layers_relations(spark, sf_dir).count())
+
+    # *_run1/_run2 are raw repeats of work already counted under the
+    # best-of-2 min — exclude them so the total isn't triple-counted
     total = round(
-        sum(v for k, v in times.items() if not k.startswith("pipeline_run")), 3
+        sum(
+            v for k, v in times.items()
+            if not k.startswith("pipeline_run") and not k.endswith(("_run1", "_run2"))
+        ),
+        3,
     )
     print(
         json.dumps(

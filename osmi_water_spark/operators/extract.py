@@ -1,39 +1,51 @@
 """Stage A — pages -> (text, entities), the graft's extraction stage.
 
 Replaces the reference's OSM-file readers (/root/reference/src/
-waterinspector.cpp:113, :123, :140) with a single Arrow-batched
-``mapInPandas`` pass over the ``pages`` table: HTML -> visible text
-(byte-identical per url vs the generator's ground truth, the
-BASELINE.json per-row invariant) + the embedded geo payload -> typed
-entity rows.
+waterinspector.cpp:113, :123, :140) with a JVM-first projection over the
+``pages`` table: the geo payload is sliced out with ``regexp_extract``
+and decoded with ``from_json`` — both whole-stage-codegen JVM expressions
+— so the ONLY Python in the stage is the visible-text extraction, a thin
+Arrow-batched ``pandas_udf`` of vectorized ``.str`` regex ops (the
+byte-identical-text-per-url invariant, BASELINE.json input_hint).
 
-Text extraction is vectorized pandas ``.str`` ops over the whole Arrow
-batch (regex tag stripping); only the JSON payload decode is per-document
-Python inside the batch (one payload per page, not per output row). The
-derived nodes/ways/relations DataFrames then replace the reference's
-entity-kind scan pruning with Catalyst column/partition pruning
-(SURVEY.md §4 row 1).
+Round 2 ran the whole stage (JSON decode included) as per-row Python
+inside ``mapInPandas``; the interpreter was the named suspect for the
+pipeline's N->4N scaling gap (VERDICT.md Next #5). Moving the decode to
+Catalyst removes the per-page ``json.loads`` and the Python-side row
+assembly entirely; the derived nodes/ways/relations DataFrames keep
+replacing the reference's entity-kind scan pruning with Catalyst
+column/partition pruning (SURVEY.md §4 row 1).
 """
 
 from __future__ import annotations
 
-import json
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from osmi_water_spark.schemas import RELATION_MEMBER
 
 _SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
 _BLOCK_CLOSE_RE = r"</(?:title|h1|h2|h3|p|div|li)>"
 _TAG_RE = r"<[^>]*>"
+# shared by pandas (re) and Catalyst (java.util.regex): both support (?s)
 _PAYLOAD_RE = r'(?s)<script type="application/osm\+json">(.*?)</script>'
 
+# the "entities" stage contract (checkpointed between runs): typed columns,
+# decoded JVM-side — members/tags are REAL nested types, not JSON strings
 EXTRACT_SCHEMA = (
     "url string, text string, kind string, id long, lon double, lat double, "
-    "node_ids array<long>, members string, tags string, ts long"
+    "node_ids array<long>, "
+    "members array<struct<type:string,ref:long,role:string>>, "
+    "tags map<string,string>, ts long"
+)
+
+_ENTITY_DDL = (
+    "struct<kind:string,id:long,lon:double,lat:double,node_ids:array<long>,"
+    "members:array<struct<type:string,ref:long,role:string>>,"
+    "tags:map<string,string>,ts:long>"
 )
 
 
@@ -48,65 +60,49 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     return s.str.rstrip("\n")
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        html = pdf["html"]
-        text = extract_text_series(html)
-        payloads = html.map(
-            lambda b: (b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
-        ).str.extract(_PAYLOAD_RE, expand=False)
-
-        out = {
-            "url": [], "text": [], "kind": [], "id": [], "lon": [], "lat": [],
-            "node_ids": [], "members": [], "tags": [], "ts": [],
-        }
-        for url, txt, raw in zip(pdf["url"], text, payloads):
-            ent = json.loads(raw) if isinstance(raw, str) and raw else None
-            out["url"].append(url)
-            out["text"].append(txt)
-            if ent is None:
-                out["kind"].append(None)
-                out["id"].append(None)
-                out["lon"].append(None)
-                out["lat"].append(None)
-                out["node_ids"].append(None)
-                out["members"].append(None)
-                out["tags"].append(None)
-                out["ts"].append(None)
-                continue
-            out["kind"].append(ent["kind"])
-            out["id"].append(ent["id"])
-            out["lon"].append(ent.get("lon"))
-            out["lat"].append(ent.get("lat"))
-            out["node_ids"].append(ent.get("node_ids"))
-            out["members"].append(
-                json.dumps(ent["members"]) if "members" in ent else None
-            )
-            out["tags"].append(json.dumps(ent.get("tags", {})))
-            out["ts"].append(ent.get("ts"))
-        yield pd.DataFrame(out)
+@pandas_udf(T.StringType())
+def _text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
 
 
 def extract_entities(pages: DataFrame) -> DataFrame:
-    """pages -> flat extraction DataFrame (one row per page)."""
-    return pages.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    """pages -> flat extraction DataFrame (one row per page). Streaming-safe
+    (pure projections), used verbatim by streaming/incremental.py."""
+    html_s = F.col("html").cast("string")  # binary -> UTF-8
+    ent = F.from_json(F.regexp_extract(html_s, _PAYLOAD_RE, 1), _ENTITY_DDL)
+    return pages.select(
+        "url",
+        _text_udf(F.col("html")).alias("text"),
+        ent.alias("_e"),
+    ).select(
+        "url",
+        "text",
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.id").alias("id"),
+        F.col("_e.lon").alias("lon"),
+        F.col("_e.lat").alias("lat"),
+        F.col("_e.node_ids").alias("node_ids"),
+        F.col("_e.members").alias("members"),
+        # entity present but untagged -> EMPTY map (the reference's taglist
+        # is always present; None is reserved for payload-less pages)
+        F.when(
+            F.col("_e.kind").isNotNull(),
+            F.coalesce(F.col("_e.tags"), F.expr("cast(map() as map<string,string>)")),
+        ).alias("tags"),
+        F.col("_e.ts").alias("ts"),
+    )
 
 
 def split_entities(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Extraction rows -> (nodes, ways, relations) typed DataFrames
-    (FIXTURES.md §2 schemas)."""
-    tags = F.from_json("tags", "map<string,string>").alias("tags")
-    nodes = extracted.filter(F.col("kind") == "node").select("id", "lon", "lat", tags)
+    (FIXTURES.md §2 schemas) — pure column pruning now that the entities
+    table carries typed members/tags."""
+    nodes = extracted.filter(F.col("kind") == "node").select("id", "lon", "lat", "tags")
     ways = extracted.filter(F.col("kind") == "way").select(
-        "id", "node_ids", tags, F.timestamp_seconds("ts").alias("ts")
+        "id", "node_ids", "tags", F.timestamp_seconds("ts").alias("ts")
     )
     relations = extracted.filter(F.col("kind") == "relation").select(
-        "id",
-        F.from_json("members", f"array<struct<type:string,ref:long,role:string>>").alias(
-            "members"
-        ),
-        tags,
-        F.timestamp_seconds("ts").alias("ts"),
+        "id", "members", "tags", F.timestamp_seconds("ts").alias("ts")
     )
     assert relations.schema["members"].dataType.elementType == RELATION_MEMBER
     return nodes, ways, relations

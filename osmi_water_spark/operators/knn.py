@@ -48,12 +48,7 @@ def knn_join_exact(points: DataFrame, neighbors: DataFrame, k: int = 3) -> DataF
     return _ranked(points.crossJoin(n), k)
 
 
-def knn_join_cells(
-    points: DataFrame, neighbors: DataFrame, k: int = 3, res: int = C.DEFAULT_RES, ring: int = 1
-) -> DataFrame:
-    """Cell-bucketed approximate kNN: candidates share a cell within the
-    k-ring. Misses true neighbors farther than ``ring`` cells (pick res so
-    the expected k-th distance fits inside the ring)."""
+def _cells_pass(points: DataFrame, neighbors: DataFrame, k: int, res: int, ring: int) -> DataFrame:
     pts = points.select(
         "point_id", "lon", "lat",
         F.explode(C.k_ring(C.cell_of(F.col("lon"), F.col("lat"), res), ring)).alias("cell"),
@@ -66,3 +61,36 @@ def knn_join_cells(
     )
     cand = pts.join(nbr, "cell", "inner").dropDuplicates(["point_id", "neighbor_id"])
     return _ranked(cand, k)
+
+
+def knn_join_cells(
+    points: DataFrame, neighbors: DataFrame, k: int = 3, res: int = C.DEFAULT_RES,
+    ring: int = 1, widen: int = 0,
+) -> DataFrame:
+    """Cell-bucketed approximate kNN: candidates share a cell within the
+    k-ring.
+
+    CONTRACT: a point whose k-ring holds fewer than ``k`` neighbors gets
+    fewer than k rows. Two mitigations: pick ``res`` so the expected k-th
+    distance fits inside the ring, or set ``widen`` > 0 — under-filled
+    points (including zero-candidate points, which a pure join would drop
+    silently) are re-queried up to ``widen`` times with the ring doubled
+    per round. Each round is a distributed anti-join selecting ONLY the
+    deficient points, so a dense corpus pays nothing beyond one count; a
+    point still under-filled after the last round keeps its partial (or
+    empty) result. Also approximate at ring edges: a neighbor ``ring+1``
+    cells away can be nearer than a found one — ``widen`` narrows but does
+    not remove that window; use knn_join_exact when exactness matters.
+    """
+    out = _cells_pass(points, neighbors, k, res, ring)
+    for _ in range(widen):
+        ring = ring * 2
+        filled = (
+            out.groupBy("point_id").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= k).select("point_id")
+        )
+        deficient = points.join(filled, "point_id", "left_anti")
+        out = out.join(filled, "point_id", "left_semi").unionByName(
+            _cells_pass(deficient, neighbors, k, res, ring)
+        )
+    return out

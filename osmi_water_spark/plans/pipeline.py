@@ -165,7 +165,7 @@ def _stage(sink: Sink | None, name: str, compute, spark: SparkSession,
 
 def run_pipeline(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     out_dir: str | None = None,
     cell_res: int = C.DEFAULT_RES,
     tile_z: int = 8,
@@ -175,6 +175,7 @@ def run_pipeline(
     sink_format: str = "parquet",
     sink_catalog: str | None = None,
     bucket_entities: int | None = None,
+    entities: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """pages -> the four output tables + tile tables (+ checkpoints).
 
@@ -182,15 +183,21 @@ def run_pipeline(
     by id (N buckets) — the J1 locate join then reads its nodes side
     pre-partitioned on the join key (one Exchange instead of two). On a
     100-TB run this is the difference between re-shuffling the node table
-    on every pass and shuffling it once at ingest."""
+    on every pass and shuffling it once at ingest.
+
+    ``entities``: skip Stage A and run the batch DAG from an
+    already-extracted entities table (the streaming/incremental
+    orchestration hands over the stream-accumulated table here —
+    streaming/incremental.py:incremental_pipeline)."""
     bucket_spec = {"entities": (bucket_entities, "id")} if bucket_entities else None
     sink = Sink(out_dir, sink_format, sink_catalog, bucket_spec) if out_dir else None
     lineage = Lineage() if (with_lineage and sink) else None
 
-    # ---- Stage A: extraction ----
-    entities, _ = _stage(
-        sink, "entities", lambda: extract_entities(pages), spark, lineage, resume
-    )
+    # ---- Stage A: extraction (skipped when entities are handed over) ----
+    if entities is None:
+        entities, _ = _stage(
+            sink, "entities", lambda: extract_entities(pages), spark, lineage, resume
+        )
     nodes, ways, relations = split_entities(entities)
 
     # ---- Stage B: locate (J1) ----

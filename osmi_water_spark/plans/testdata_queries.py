@@ -15,6 +15,7 @@ containment or a floor().
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -519,7 +520,15 @@ def _pip_query(spark, sf_dir, salt: int):
     points = _nodes_geo(spark, sf_dir).select(
         F.col("node_id").alias("point_id"), "lon", "lat"
     )
-    pairs = pip_join(points, parts, salt=salt)
+    # explicit knobs (as the pipeline passes them) so the standalone query
+    # measures the JOIN, not auto-mode's discovery jobs: broadcast decision
+    # pinned (tiny rect set), res_list = the full adaptive range (a superset
+    # is exact — absent resolutions match no cover cells), unique ids
+    # declared (node_id is a key) -> probe mode is shuffle-free end to end.
+    pairs = pip_join(
+        points, parts, salt=salt, broadcast_parts=True,
+        res_list=list(range(3, C.DEFAULT_RES + 1)), unique_points=True,
+    )
     return pairs.select(
         "point_id", F.col("area_key").cast("long").alias("poly_id")
     )
@@ -756,23 +765,49 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <
 """
 
 
-# ---------------- rows-only queries (non-SQL-expressible) ----------------
+# ---------------- fixture-oracled queries (seeded-hash semantics) ----------------
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures",
+)
+MINHASH_FIXTURE = os.path.join(_FIXTURE_DIR, "minhash_pairs_expected.parquet")
+SIMHASH_FIXTURE = os.path.join(_FIXTURE_DIR, "simhash_pairs_expected.parquet")
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash-LSH near-dup pairs over documents (seeded hashing — no SQL
-    oracle; driver records rows-only)."""
+    """MinHash-LSH near-dup pairs over the deterministic docs_gen corpus.
+    Seeded crc32/FNV/md5 hashing has no native DuckDB expression, so the
+    oracle is the pipeline_nodes fixture pattern: an INDEPENDENT scalar
+    plain-Python implementation (scripts/make_dedup_fixtures.py) precomputes
+    the expected (a, b, jaccard) set into a parquet fixture and the oracle
+    is a plain SELECT — the full distributed path (Arrow signature UDF,
+    banding, bucket self-join, exact verify) is value-checked end to end."""
     from osmi_water_spark.operators.dedup import minhash_near_dups
+    from osmi_water_spark.sources.docs_gen import dedup_corpus, docs_dataframe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_near_dups(docs, threshold=0.5)
+    docs = docs_dataframe(spark, dedup_corpus())
+    out = minhash_near_dups(docs, threshold=0.5)
+    return out.select(
+        "a", "b", F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("jaccard_u")
+    )
+
+
+SQL_MINHASH = f"SELECT a, b, jaccard_u FROM read_parquet('{MINHASH_FIXTURE}')"
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 8 over shared 16-bit chunks) on
+    the same deterministic corpus, fixture-oracled like minhash."""
     from osmi_water_spark.operators.dedup import simhash_near_dups
+    from osmi_water_spark.sources.docs_gen import dedup_corpus, docs_dataframe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs, max_hamming=8)
+    docs = docs_dataframe(spark, dedup_corpus())
+    out = simhash_near_dups(docs, max_hamming=8)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_SIMHASH = f"SELECT a, b, hamming FROM read_parquet('{SIMHASH_FIXTURE}')"
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -829,7 +864,7 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-PIPELINE_NODES_FIXTURE = "/root/repo/tests/fixtures/pipeline_nodes_expected.parquet"
+PIPELINE_NODES_FIXTURE = os.path.join(_FIXTURE_DIR, "pipeline_nodes_expected.parquet")
 
 
 def q_pipeline_nodes(spark, sf_dir):
@@ -944,8 +979,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
-    # minhash/simhash stay rows-only (crc32/blake2b have no DuckDB
-    # equivalent); the others are oracle-paired at the bottom of the file
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
@@ -973,6 +1006,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "ann_cosine_topk": SQL_ANN,
+    "minhash_near_dups": SQL_MINHASH,
+    "simhash_near_dups": SQL_SIMHASH,
 }
 
 

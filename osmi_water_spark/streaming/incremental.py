@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from osmi_water_spark.operators.extract import EXTRACT_SCHEMA, _extract_batches
+from osmi_water_spark.operators.extract import extract_entities
 from osmi_water_spark.schemas import PAGES
 
 
@@ -31,7 +31,7 @@ def stream_extract(
     """Incremental pages -> entities: one streaming query, file-source
     exactly-once, partitioned by entity kind for downstream pruning."""
     pages = spark.readStream.schema(PAGES).parquet(pages_dir)
-    entities = pages.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    entities = extract_entities(pages)  # same JVM-decode projection as batch
     writer = (
         entities.writeStream.format("parquet")
         .option("path", out_dir)
@@ -123,3 +123,80 @@ def stream_lang_stats(
         update, _LANG_STATS_OUT, _LANG_STATS_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------- incremental full-pipeline orchestration ----------------
+
+
+def append_entities_batch(batch_df, epoch_id: int, ents_dir: str) -> None:
+    """foreachBatch sink for the entities stream: one parquet directory per
+    epoch, written atomically and SKIPPED when already committed — after a
+    crash Spark replays the last uncommitted epoch, and the idempotency
+    check turns the replay into exactly-once (the standard foreachBatch
+    contract: the sink must be idempotent by (destination, epoch))."""
+    import os as _os
+
+    dest = _os.path.join(ents_dir, f"epoch={epoch_id}")
+    if _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        return  # replayed epoch — already durable
+    batch_df.write.mode("overwrite").parquet(dest)
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    work_dir: str,
+    available_now: bool = True,
+    await_stream: bool = True,
+    finalize: bool = True,
+    **pipeline_kw,
+):
+    """The batch-incremental composition BASELINE.json's north rule implies:
+    Structured Streaming drives extraction incrementally (foreachBatch ->
+    epoch-partitioned entities parquet, exactly-once), then the RESUMABLE
+    batch DAG (plans/pipeline.py, per-stage checkpoints + lineage) runs
+    from the accumulated entities table. Restart-safe end to end: killing
+    the stream resumes from the streaming checkpoint; killing the batch
+    half resumes from the last completed stage checkpoint.
+
+    Returns (query, out): the streaming query (already drained when
+    ``available_now and await_stream``) and the pipeline output dict
+    (``None`` unless ``finalize``).
+    """
+    import functools
+    import os as _os
+
+    ents_dir = _os.path.join(work_dir, "entities_stream")
+    ckpt_dir = _os.path.join(work_dir, "_stream_ckpt")
+    pages = spark.readStream.schema(PAGES).parquet(pages_dir)
+    writer = (
+        extract_entities(pages)
+        .writeStream.foreachBatch(functools.partial(append_entities_batch, ents_dir=ents_dir))
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_stream:
+        query.awaitTermination()
+    out = None
+    if finalize:
+        from osmi_water_spark.operators.extract import EXTRACT_SCHEMA
+        from osmi_water_spark.plans.pipeline import run_pipeline
+
+        # batch-half checkpoints are keyed by the entities snapshot (epoch
+        # count): a finalize CRASH over the same snapshot resumes from the
+        # last completed stage; a finalize over a GROWN table gets a fresh
+        # checkpoint dir (stage outputs of the old snapshot are stale)
+        epochs = [
+            d for d in (_os.listdir(ents_dir) if _os.path.isdir(ents_dir) else [])
+            if d.startswith("epoch=")
+        ]
+        entities = spark.read.schema(EXTRACT_SCHEMA).parquet(ents_dir)
+        out = run_pipeline(
+            spark, pages=None, entities=entities,
+            out_dir=_os.path.join(work_dir, f"out_e{len(epochs):05d}"),
+            resume=True, **pipeline_kw,
+        )
+    return query, out

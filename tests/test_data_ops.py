@@ -327,3 +327,63 @@ def test_byte_features_known_values(spark):
     assert abs(got[2].entropy - 1.0) < 1e-12          # two equal symbols
     assert got[2].frac_printable == 0.5
     assert got[3].n_bytes == 0 and got[3].entropy == 0.0
+
+
+def test_minhash_matches_plain_python_fixture(spark):
+    """The distributed MinHash-LSH pipeline must equal the INDEPENDENT
+    scalar plain-Python implementation (scripts/make_dedup_fixtures.py)
+    on the deterministic corpus — the same parity the driver's DuckDB
+    fixture oracle checks (SQL_MINHASH)."""
+    import pyarrow.parquet as pq
+
+    from osmi_water_spark.plans.testdata_queries import (
+        MINHASH_FIXTURE, q_minhash_near_dups,
+    )
+
+    got = {(r.a, r.b, r.jaccard_u) for r in q_minhash_near_dups(spark, "").collect()}
+    t = pq.read_table(MINHASH_FIXTURE)
+    want = set(zip(*(t.column(c).to_pylist() for c in ("a", "b", "jaccard_u"))))
+    assert got == want and len(want) > 50
+
+
+def test_simhash_matches_plain_python_fixture(spark):
+    import pyarrow.parquet as pq
+
+    from osmi_water_spark.plans.testdata_queries import (
+        SIMHASH_FIXTURE, q_simhash_near_dups,
+    )
+
+    got = {(r.a, r.b, r.hamming) for r in q_simhash_near_dups(spark, "").collect()}
+    t = pq.read_table(SIMHASH_FIXTURE)
+    want = set(zip(*(t.column(c).to_pylist() for c in ("a", "b", "hamming"))))
+    assert got == want and len(want) > 30
+
+
+def test_knn_cells_widen_recovers_sparse_points(spark):
+    """Ring-widening contract: a sparse corpus where the k-ring at the
+    chosen res holds < k (even 0) neighbors under-fills without ``widen``
+    and matches the exact kNN with it."""
+    from osmi_water_spark.operators.knn import knn_join_cells, knn_join_exact
+
+    # neighbors spread ~1 degree apart; res=12 cells are ~0.01 deg wide, so
+    # ring=1 around a point sees at most its own immediate vicinity
+    nbr = spark.createDataFrame(
+        [(j, 10.0 + j * 1.0, 5.0) for j in range(6)],
+        "neighbor_id long, lon double, lat double",
+    )
+    pts = spark.createDataFrame(
+        [(0, 10.001, 5.0), (1, 12.4, 5.0)],  # p0 near nbr0; p1 between cells
+        "point_id long, lon double, lat double",
+    )
+    naive = knn_join_cells(pts, nbr, k=2, res=12, ring=1).collect()
+    assert len(naive) < 4  # silently under-filled (p1 finds nothing)
+
+    widened = {
+        (r.point_id, r.rank): r.neighbor_id
+        for r in knn_join_cells(pts, nbr, k=2, res=12, ring=1, widen=4).collect()
+    }
+    exact = {
+        (r.point_id, r.rank): r.neighbor_id
+        for r in knn_join_exact(pts, nbr, k=2).collect()
+    }
+    assert widened == exact and len(widened) == 4

@@ -172,3 +172,65 @@ def test_np_cell_of_matches_formula():
     iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, hi).astype(np.int64)
     want = (np.int64(res) << 58) + (iy << 29) + ix
     assert (C.np_cell_of(lon, lat, res) == want).all()
+
+
+def test_probe_cover_arrow_collect_fallback(spark, monkeypatch):
+    """The probe-cover collect is a single bounded Arrow pull (no Python
+    Rows): with the cap forced below the cover size the join must fall
+    back to the broadcast equi-join and produce identical pairs."""
+    import osmi_water_spark.operators.spatial_join as SJ
+
+    rows = [
+        (float(i % 10), float(i // 10), float(i % 10) + 1.5, float(i // 10) + 1.5)
+        for i in range(40)
+    ]
+    parts = spark.createDataFrame(
+        [
+            (str(i), bytes(W.wkb_polygon([np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            )])), x0, y0, x1, y1)
+            for i, (x0, y0, x1, y1) in enumerate(rows)
+        ],
+        "area_key string, part_wkb binary, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    pts = spark.createDataFrame(
+        [(i, float(i % 12) + 0.7, float(i % 7) + 0.7) for i in range(300)],
+        "point_id long, lon double, lat double",
+    )
+    probe = {(r.point_id, r.area_key) for r in pip_join(pts, parts, broadcast_parts=True).collect()}
+    monkeypatch.setattr(SJ, "MAX_PROBE_CELLS", 1)
+    fallback = {(r.point_id, r.area_key) for r in pip_join(pts, parts, broadcast_parts=True).collect()}
+    assert probe == fallback and len(probe) > 0
+
+
+def test_cell_probe_index_at_cap_scale():
+    """Driver-side stress: CellProbeIndex construction + a candidates()
+    probe at MAX_PROBE_CELLS rows stays numpy-vectorized (seconds, not
+    minutes) and correct on sampled cells."""
+    import time
+
+    from osmi_water_spark.operators.spatial_join import (
+        MAX_PROBE_CELLS, CellProbeIndex,
+    )
+
+    n = MAX_PROBE_CELLS
+    rng = np.random.RandomState(0)
+    pairs = np.column_stack([
+        rng.randint(0, n // 2, size=n).astype(np.int64),
+        rng.randint(0, 1000, size=n).astype(np.int64),
+    ])
+    idx = W.FlatPolygonIndex.build(
+        (str(i), bytes(W.wkb_polygon([np.array(
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+        )]))) for i in range(1)
+    )
+    t0 = time.time()
+    probe = CellProbeIndex(pairs, idx, [7], [str(i) for i in range(1000)])
+    build_s = time.time() - t0
+    assert build_s < 30.0, f"cap-scale probe build took {build_s:.1f}s"
+    # sampled correctness: candidates for one cell == the deduped pair set
+    cell = int(pairs[0, 0])
+    want = np.unique(pairs[pairs[:, 0] == cell][:, 1])
+    rows_idx, keys = probe.candidates(np.array([cell], dtype=np.int64))
+    assert (np.sort(keys) == want).all() and (rows_idx == 0).all()
