@@ -84,9 +84,30 @@ def main() -> None:
     pages = scale_pages_df(spark, chains).cache()
     n_pages = pages.count()  # materialize input outside the timed window
 
+    # SPARK_GRAFT_OUT: run the PRODUCTION configuration — per-stage
+    # checkpoints to this dir (the resumable path the north rule names).
+    # Unset = in-memory cached stages (fast local convenience; its JVM
+    # columnar-cache build is allocation-bound and anti-scales in a single
+    # shared heap, so scaling campaigns use the checkpointed mode).
+    ckpt_dir = os.environ.get("SPARK_GRAFT_OUT")
+
     def run_pipe():
-        out = run_pipeline(spark, pages, out_dir=None, with_lineage=False)
-        return sum(out[k].count() for k in ("ways", "relations", "polygons", "nodes"))
+        from concurrent.futures import ThreadPoolExecutor
+
+        if ckpt_dir:
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+        out = run_pipeline(spark, pages, out_dir=ckpt_dir, with_lineage=False)
+        # concurrent counts: in cached mode these are what actually
+        # materialize the (lazy) stage caches — overlap them like the
+        # checkpointed mode overlaps its stage writes
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            return sum(
+                n for n in ex.map(
+                    lambda k: out[k].count(), ("ways", "relations", "polygons", "nodes")
+                )
+            )
 
     # best-of-2: the sandbox host shows up to 7x external wall-clock noise
     # (see BENCH.md); two runs bound the damage of an unlucky window.

@@ -259,11 +259,30 @@ def run_pipeline(
         "lat",
     )
 
+    # the four output tables are independent leaves of the DAG: submit
+    # their stage jobs CONCURRENTLY (SparkSession is thread-safe; shared
+    # cached upstreams are computed once under BlockManager's per-block
+    # locks). In checkpointed mode this overlaps four write barriers that
+    # were serial — per-stage fixed cost (job launch, output commit) was
+    # the measured non-scaling share of the pipeline wall (BENCH.md round
+    # 3 stage profile), and it shrinks by the overlap factor. On a real
+    # cluster this is the standard multi-job scheduler pattern.
+    from concurrent.futures import ThreadPoolExecutor
+
     out: dict[str, DataFrame] = {}
-    out["ways"], _ = _stage(sink, "ways", lambda: ways_out, spark, lineage, resume)
-    out["relations"], _ = _stage(sink, "relations", lambda: relations_out, spark, lineage, resume)
-    out["polygons"], _ = _stage(sink, "polygons", lambda: polygons_out, spark, lineage, resume)
-    out["nodes"], _ = _stage(sink, "nodes", lambda: nodes_out, spark, lineage, resume)
+    leaves = {
+        "ways": lambda: ways_out,
+        "relations": lambda: relations_out,
+        "polygons": lambda: polygons_out,
+        "nodes": lambda: nodes_out,
+    }
+    with ThreadPoolExecutor(max_workers=len(leaves)) as ex:
+        futs = {
+            name: ex.submit(_stage, sink, name, compute, spark, lineage, resume)
+            for name, compute in leaves.items()
+        }
+        for name, fut in futs.items():
+            out[name], _ = fut.result()
 
     tv = TI.tile_validation(out["nodes"], tile_z)
     polys_fid = out["polygons"].withColumn(
@@ -276,8 +295,11 @@ def run_pipeline(
             TI.feature_tile_assignment(out["relations"], "relations", "relation_id", tile_z, cell_res)
         )
     )
-    out["tile_validation"], _ = _stage(sink, "tile_validation", lambda: tv, spark, lineage, resume)
-    out["tile_assignment"], _ = _stage(sink, "tile_assignment", lambda: ta, spark, lineage, resume)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fv = ex.submit(_stage, sink, "tile_validation", lambda: tv, spark, lineage, resume)
+        fa = ex.submit(_stage, sink, "tile_assignment", lambda: ta, spark, lineage, resume)
+        out["tile_validation"], _ = fv.result()
+        out["tile_assignment"], _ = fa.result()
 
     if lineage is not None:
         sink.write(lineage.dataframe(spark), "_lineage")
