@@ -27,16 +27,35 @@ from osmi_water_spark.plans.oracle import run_oracle  # noqa: E402
 from osmi_water_spark.sources.pages_gen import scale_entities  # noqa: E402
 
 RES = 7  # pipeline default cell resolution (cells.DEFAULT_RES)
+RES_SHIFT, IY_SHIFT = 58, 29  # packed-cell layout (cells.py)
+
+
+def _assert_constants_match_engine() -> None:
+    """Guard (assert-only, value path stays engine-free): if the engine's
+    cell constants ever drift from the literals above, fail HERE at
+    generation time — not later in the driver's gate with an error that
+    points at the pipeline (ADVICE r2)."""
+    from osmi_water_spark.functions import cells as C
+
+    assert C.DEFAULT_RES == RES, (C.DEFAULT_RES, RES)
+    # the packed formula: probe a few coordinates through the engine's
+    # own scalar path and compare with the local formula
+    import numpy as np
+
+    for lon, lat in ((0.0, 0.0), (-179.9, -89.9), (179.9, 89.9), (12.3, -45.6)):
+        got = int(C.np_cell_of(np.array([lon]), np.array([lat]), RES)[0])
+        assert got == cell_of(lon, lat), (lon, lat, got)
 
 
 def cell_of(lon: float, lat: float, res: int = RES) -> int:
     n = 1 << res
     ix = min(n - 1, max(0, math.floor((lon + 180.0) / 360.0 * n)))
     iy = min(n - 1, max(0, math.floor((lat + 90.0) / 180.0 * n)))
-    return (res << 58) + (iy << 29) + ix
+    return (res << RES_SHIFT) + (iy << IY_SHIFT) + ix
 
 
 def main() -> None:
+    _assert_constants_match_engine()
     ents = scale_entities(40)
     raw_loc = {e["id"]: (e["lon"], e["lat"]) for e in ents if e["kind"] == "node"}
     out = run_oracle(ents)
