@@ -39,8 +39,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     chains = int(os.environ.get("SPARK_GRAFT_CHAINS", min(20000, max(200, int(40000 * sf)))))
 
-    spark = get_spark(app_name="osmi-water-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+    # SPARK_GRAFT_MASTER overrides the topology (the scaling campaigns pass
+    # local-cluster[n,c,mem] to run with real separate executor JVMs);
+    # shuffle width then derives from the topology inside get_spark.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = get_spark(app_name="osmi-water-bench", master=master,
+                      shuffle_partitions=None if master.startswith("local-cluster") else cpus)
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
 

@@ -23,13 +23,27 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    # local-cluster[n,c,memMB]: Spark's standalone-in-a-box mode — REAL
+    # separate executor JVMs (the worker forks one JVM per executor), the
+    # closest in-sandbox analogue of an actual cluster. Used by the scaling
+    # campaigns to evidence the N->4N criterion with per-executor heaps
+    # instead of one shared local[N] heap.
+    lc_topo: tuple[int, int, int] | None = None
+    if master.startswith("local-cluster["):
+        n_exec, exec_cores, worker_mb = (
+            int(x) for x in master[master.find("[") + 1 : master.find("]")].split(",")
+        )
+        lc_topo = (n_exec, exec_cores, worker_mb)
     # local[N] -> N parallel tasks; match shuffle width to it so small-scale
     # runs neither over- nor under-parallelize. On a real cluster this would
     # be set from executor count x cores (and AQE coalesces down).
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        if lc_topo:
+            shuffle_partitions = lc_topo[0] * lc_topo[1]
+        else:
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     # one BLAS/OMP thread per python worker: N workers x M BLAS threads
     # oversubscribes the box quadratically and *inverts* scaling at high N
@@ -56,6 +70,21 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
+    if lc_topo:
+        # executor heap fits inside the worker's memory grant; python
+        # workers on each executor need the package importable (on a real
+        # cluster this is --py-files; locally the repo root suffices)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pypath = repo_root + (
+            ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+        )
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXEC_MEM", f"{max(1024, lc_topo[2] - 512)}m"),
+            )
+            .config("spark.executorEnv.PYTHONPATH", pypath)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
