@@ -160,6 +160,9 @@ def main() -> None:
 
     timed2("pip_join", lambda: Q.q_j5_pip(spark, sf_dir).count())
     timed2("pip_join_salted", lambda: Q.q_j5_pip_salted(spark, sf_dir).count())
+    # knobs-off auto mode: records the discovery-job overhead (res-list
+    # collect, stats agg, broadcast decision) next to the pinned row
+    timed2("pip_join_auto", lambda: Q.q_j5_pip_auto(spark, sf_dir).count())
     timed2("connectivity", lambda: Q.q_j3_connectivity(spark, sf_dir).count())
     timed2("locate", lambda: Q.q_j1_locate(spark, sf_dir).count())
     timed2("knn", lambda: Q.q_j6_knn(spark, sf_dir).count())

@@ -34,12 +34,15 @@ _TAG_RE = r"<[^>]*>"
 _PAYLOAD_RE = r'(?s)<script type="application/osm\+json">(.*?)</script>'
 
 # the "entities" stage contract (checkpointed between runs): typed columns,
-# decoded JVM-side — members/tags are REAL nested types, not JSON strings
+# decoded JVM-side — members/tags are REAL nested types, not JSON strings.
+# ``corrupt`` distinguishes a present-but-malformed osm+json payload (which
+# PERMISSIVE from_json decodes to nulls) from a genuinely payload-less page
+# — without it the two are indistinguishable downstream (ADVICE.md r3).
 EXTRACT_SCHEMA = (
     "url string, text string, kind string, id long, lon double, lat double, "
     "node_ids array<long>, "
     "members array<struct<type:string,ref:long,role:string>>, "
-    "tags map<string,string>, ts long"
+    "tags map<string,string>, ts long, corrupt boolean"
 )
 
 _ENTITY_DDL = (
@@ -69,10 +72,12 @@ def extract_entities(pages: DataFrame) -> DataFrame:
     """pages -> flat extraction DataFrame (one row per page). Streaming-safe
     (pure projections), used verbatim by streaming/incremental.py."""
     html_s = F.col("html").cast("string")  # binary -> UTF-8
-    ent = F.from_json(F.regexp_extract(html_s, _PAYLOAD_RE, 1), _ENTITY_DDL)
+    payload = F.regexp_extract(html_s, _PAYLOAD_RE, 1)
+    ent = F.from_json(payload, _ENTITY_DDL)
     return pages.select(
         "url",
         _text_udf(F.col("html")).alias("text"),
+        (F.length(payload) > 0).alias("_has_payload"),
         ent.alias("_e"),
     ).select(
         "url",
@@ -90,7 +95,31 @@ def extract_entities(pages: DataFrame) -> DataFrame:
             F.coalesce(F.col("_e.tags"), F.expr("cast(map() as map<string,string>)")),
         ).alias("tags"),
         F.col("_e.ts").alias("ts"),
+        # payload present but PERMISSIVE from_json produced no entity ->
+        # malformed page, countable/filterable instead of silently null
+        (F.col("_has_payload") & F.col("_e.kind").isNull()).alias("corrupt"),
     )
+
+
+def validate_entities_schema(spark, path: str) -> None:
+    """Guard an on-disk entities checkpoint against the CURRENT extraction
+    contract before a resume/finalize reads it. The typed members/tags
+    contract has changed across engine versions; forcing EXTRACT_SCHEMA
+    onto a stale directory would silently null-fill or fail deep in the
+    DAG with a confusing error (ADVICE.md r3). Hive partition columns
+    (kind=/epoch=) may add fields; every contract field must match."""
+    from pyspark.sql import types as T2
+
+    want = T2.StructType.fromDDL(EXTRACT_SCHEMA)
+    got = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    bad = [f.name for f in want.fields if got.get(f.name) != f.dataType]
+    if bad:
+        raise ValueError(
+            f"stale entities checkpoint at {path}: column(s) {bad} do not "
+            "match the current extraction contract "
+            f"({EXTRACT_SCHEMA}) — delete the checkpoint (and downstream "
+            "stage dirs built from it) and re-run"
+        )
 
 
 def split_entities(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

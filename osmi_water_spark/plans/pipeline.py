@@ -131,7 +131,11 @@ class Sink:
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         if self.fmt == "parquet":
-            return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+            # Hadoop FS API, not os.path: correct on object stores / HDFS
+            # too, not only a driver-local POSIX filesystem
+            from osmi_water_spark import fsutil
+
+            return fsutil.exists(spark, os.path.join(self.path(name), "_SUCCESS"))
         return spark.catalog.tableExists(self._table(name))
 
     def write(self, df: DataFrame, name: str) -> None:
@@ -222,6 +226,13 @@ def run_pipeline(
 
     # ---- Stage A: extraction (skipped when entities are handed over) ----
     if entities is None:
+        if sink and resume and sink.exists(spark, "entities"):
+            # contract guard BEFORE the resume-read: a checkpoint written
+            # under an older extraction schema must fail loudly here, not
+            # null-fill or blow up mid-DAG (ADVICE.md r3)
+            from osmi_water_spark.operators.extract import validate_entities_schema
+
+            validate_entities_schema(spark, sink.path("entities"))
         entities, _ = _stage(
             sink, "entities", lambda: extract_entities(pages), spark, lineage, resume
         )

@@ -544,6 +544,44 @@ def q_j5_pip_salted(spark, sf_dir):
     return _pip_query(spark, sf_dir, salt=8)
 
 
+def q_j5_pip_auto(spark, sf_dir):
+    """J5 with every knob left to AUTO discovery (res-list collect, stats
+    agg, broadcast decision): same result as the pinned q_j5_pip — the
+    discovery jobs are ergonomics, not semantics. Benched alongside the
+    pinned row so their overhead is a recorded number (VERDICT.md r3 #7)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from osmi_water_spark.functions import wkb as W
+    from osmi_water_spark.operators.spatial_join import pip_join
+
+    def _rect_wkb(x0, y0, x1, y1):
+        return pd.Series(
+            [
+                W.wkb_polygon([np.array([[a, b], [c, b], [c, d], [a, d], [a, b]])])
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    rect_wkb = pandas_udf(_rect_wkb, T.BinaryType())
+    rects = _rects(spark, sf_dir)
+    parts = rects.select(
+        F.col("poly_id").cast("string").alias("area_key"),
+        rect_wkb("x0", "y0", "x1", "y1").alias("part_wkb"),
+        F.col("x0").alias("minx"), F.col("y0").alias("miny"),
+        F.col("x1").alias("maxx"), F.col("y1").alias("maxy"),
+    )
+    points = _nodes_geo(spark, sf_dir).select(
+        F.col("node_id").alias("point_id"), "lon", "lat"
+    )
+    pairs = pip_join(points, parts)
+    return pairs.select(
+        "point_id", F.col("area_key").cast("long").alias("poly_id")
+    )
+
+
 SQL_J5 = f"""
 WITH {SQL_NODES_GEO.strip()},
 {SQL_RECTS.strip()}
@@ -795,6 +833,34 @@ def q_minhash_near_dups(spark, sf_dir):
 
 SQL_MINHASH = f"SELECT a, b, jaccard_u FROM read_parquet('{MINHASH_FIXTURE}')"
 
+MINHASH_CAPPED_FIXTURE = os.path.join(
+    _FIXTURE_DIR, "minhash_pairs_capped_expected.parquet"
+)
+
+
+def q_minhash_near_dups_capped(spark, sf_dir):
+    """The SKEW-CONTROL branches of minhash LSH under the oracle gate
+    (round-3 ADVICE: salt replication and the star-cap ran only on
+    unchecked bench corpora): salt=4 exercises the salted hot-bucket
+    self-join (exact — changes no pairs) and max_bucket=2 actually stars
+    54 over-cap buckets on this corpus (the fixture generator asserts the
+    cap binds, and the capped expected-pair set genuinely differs from the
+    uncapped one). Oracle = the independent scalar fixture with the same
+    cap semantics."""
+    from osmi_water_spark.operators.dedup import minhash_near_dups
+    from osmi_water_spark.sources.docs_gen import dedup_corpus, docs_dataframe
+
+    docs = docs_dataframe(spark, dedup_corpus())
+    out = minhash_near_dups(docs, threshold=0.5, salt=4, max_bucket=2)
+    return out.select(
+        "a", "b", F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("jaccard_u")
+    )
+
+
+SQL_MINHASH_CAPPED = (
+    f"SELECT a, b, jaccard_u FROM read_parquet('{MINHASH_CAPPED_FIXTURE}')"
+)
+
 
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 8 over shared 16-bit chunks) on
@@ -973,6 +1039,7 @@ QUERIES = {
     "j4_hits": q_j4_hits,
     "j5_pip": q_j5_pip,
     "j5_pip_salted": q_j5_pip_salted,
+    "j5_pip_auto": q_j5_pip_auto,
     "j6_knn": q_j6_knn,
     "tiles": q_tiles,
     "map_layers": q_map_layers,
@@ -980,6 +1047,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "minhash_near_dups": q_minhash_near_dups,
+    "minhash_near_dups_capped": q_minhash_near_dups_capped,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_ivf": q_ann_ivf,
@@ -1000,6 +1068,7 @@ ORACLES = {
     "j4_hits": SQL_J4,
     "j5_pip": SQL_J5,
     "j5_pip_salted": SQL_J5,
+    "j5_pip_auto": SQL_J5,
     "j6_knn": SQL_J6,
     "tiles": SQL_TILES,
     "map_layers": SQL_MAP_LAYERS,
@@ -1007,6 +1076,7 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "ann_cosine_topk": SQL_ANN,
     "minhash_near_dups": SQL_MINHASH,
+    "minhash_near_dups_capped": SQL_MINHASH_CAPPED,
     "simhash_near_dups": SQL_SIMHASH,
 }
 

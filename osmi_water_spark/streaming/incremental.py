@@ -136,8 +136,12 @@ def append_entities_batch(batch_df, epoch_id: int, ents_dir: str) -> None:
     contract: the sink must be idempotent by (destination, epoch))."""
     import os as _os
 
+    from osmi_water_spark import fsutil
+
     dest = _os.path.join(ents_dir, f"epoch={epoch_id}")
-    if _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+    # Hadoop FS API, not os.path: the idempotency check must also hold when
+    # ents_dir is an object store / HDFS URI, not only local disk
+    if fsutil.exists(batch_df.sparkSession, _os.path.join(dest, "_SUCCESS")):
         return  # replayed epoch — already durable
     batch_df.write.mode("overwrite").parquet(dest)
 
@@ -189,10 +193,16 @@ def incremental_pipeline(
         # count): a finalize CRASH over the same snapshot resumes from the
         # last completed stage; a finalize over a GROWN table gets a fresh
         # checkpoint dir (stage outputs of the old snapshot are stale)
+        from osmi_water_spark import fsutil
+        from osmi_water_spark.operators.extract import validate_entities_schema
+
         epochs = [
-            d for d in (_os.listdir(ents_dir) if _os.path.isdir(ents_dir) else [])
-            if d.startswith("epoch=")
+            d for d in fsutil.list_names(spark, ents_dir) if d.startswith("epoch=")
         ]
+        if epochs:
+            # a pre-contract-change entities dir must fail loudly, not be
+            # silently null-filled by the forced schema (ADVICE.md r3)
+            validate_entities_schema(spark, ents_dir)
         entities = spark.read.schema(EXTRACT_SCHEMA).parquet(ents_dir)
         out = run_pipeline(
             spark, pages=None, entities=entities,

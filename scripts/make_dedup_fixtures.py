@@ -14,8 +14,12 @@ Pinned semantics (must match operators/dedup.py's module docstring):
   minhash    = min over grams of int64-wrapped (a*x+b) mod 2^61-1
   band hash  = md5 of the comma-joined 4-row signature slice, 16 bands
   verify     = exact distinct-gram Jaccard >= 0.5, micro-unit floor
-  simhash    = sign-sum of per-token blake2b-64 bits; candidates share a
-               16-bit chunk (4 chunks); hamming <= 8
+  simhash    = sign-sum of per-token byte-wise FNV-1a-64 bits; candidates
+               share a 16-bit chunk (4 chunks); hamming <= 8
+  star cap   = buckets larger than max_bucket emit only (min-id, other)
+               star pairs; smaller buckets emit all pairs (the capped
+               fixture pins the skew-control branch, which round 3 left
+               outside any oracle — ADVICE.md r3)
 
 The permutation constants are embedded as literals (independence from the
 engine's numpy derivation) and asserted equal to the engine's at
@@ -106,7 +110,11 @@ def _wrap64(v: int) -> int:
     return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
 
 
-def minhash_expected(docs, threshold=0.5, bands=16, rows=4, n=3):
+def minhash_expected(docs, threshold=0.5, bands=16, rows=4, n=3,
+                     max_bucket=None):
+    """Expected near-dup pairs; ``max_bucket`` mirrors the engine's
+    star-cap semantics (lsh_candidate_pairs): an over-cap bucket emits only
+    (min-id, other) pairs. Returns (pairs, n_overcap_buckets)."""
     shingles = {did: _gram_set(text, n) for did, text in docs}
     sigs = {}
     for did, _ in docs:
@@ -129,8 +137,15 @@ def minhash_expected(docs, threshold=0.5, bands=16, rows=4, n=3):
             key = ",".join(str(sig[bi * rows + r]) for r in range(rows))
             buckets[(bi, hashlib.md5(key.encode()).hexdigest())].append(did)
     cand = set()
+    n_overcap = 0
     for ids in buckets.values():
         ids = sorted(ids)
+        if max_bucket is not None and len(ids) > max_bucket:
+            n_overcap += 1
+            rep = ids[0]
+            for other in ids[1:]:
+                cand.add((rep, other))
+            continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cand.add((ids[i], ids[j]))
@@ -141,7 +156,14 @@ def minhash_expected(docs, threshold=0.5, bands=16, rows=4, n=3):
         jac = len(sa & sb) / union if union else 0.0
         if jac >= threshold:
             out.append((a, b, math.floor(jac * 1e6 + 0.5)))
-    return out
+    return out, n_overcap
+
+
+def _fnv1a64(s: str) -> int:
+    h = _FNV_OFFSET
+    for byte in s.encode():
+        h = ((h ^ byte) * _FNV_PRIME) % (1 << 64)
+    return h
 
 
 def _simhash(text: str) -> int:
@@ -150,7 +172,7 @@ def _simhash(text: str) -> int:
         return 0
     acc = [0] * 64
     for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        h = _fnv1a64(t)
         for bit in range(64):
             acc[bit] += 1 if (h >> bit) & 1 else -1
     v = 0
@@ -198,7 +220,7 @@ def main() -> None:
     )
     os.makedirs(fdir, exist_ok=True)
 
-    mh = minhash_expected(docs)
+    mh, _ = minhash_expected(docs)
     pq.write_table(
         pa.table({
             "a": pa.array([r[0] for r in mh], pa.int64()),
@@ -208,6 +230,27 @@ def main() -> None:
         os.path.join(fdir, "minhash_pairs_expected.parquet"),
     )
     print(f"minhash: {len(mh)} expected pairs")
+
+    # capped variant: cap chosen so the corpus's dup clusters EXCEED it —
+    # the gate then actually runs the star-cap branch (and the query runs
+    # salt>1, covering the salt-replication branch; salting is exact so it
+    # changes no pairs)
+    cap = 2
+    mhc, n_overcap = minhash_expected(docs, max_bucket=cap)
+    assert n_overcap > 0, (
+        f"max_bucket={cap} capped no bucket on this corpus — the fixture "
+        "would not exercise the star branch; lower the cap"
+    )
+    pq.write_table(
+        pa.table({
+            "a": pa.array([r[0] for r in mhc], pa.int64()),
+            "b": pa.array([r[1] for r in mhc], pa.int64()),
+            "jaccard_u": pa.array([r[2] for r in mhc], pa.int64()),
+        }),
+        os.path.join(fdir, "minhash_pairs_capped_expected.parquet"),
+    )
+    print(f"minhash capped (max_bucket={cap}): {len(mhc)} expected pairs, "
+          f"{n_overcap} over-cap buckets starred")
 
     sh = simhash_expected(docs)
     pq.write_table(

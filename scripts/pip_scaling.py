@@ -36,7 +36,7 @@ from osmi_water_spark.operators.spatial_join import pip_join
 from osmi_water_spark.functions import cells as C
 from pyspark.sql import functions as F
 cpus, n_points, runs = {cpus}, {n_points}, {runs}
-spark = get_spark(app_name=f"pip-scale-{cpus}", master=f"local[{cpus}]",
+spark = get_spark(app_name=f"pip-scale-{cpus}", master="{master}",
                   shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
 pts, parts = build_inputs(spark, n_points, 20000)
@@ -128,9 +128,22 @@ def _run(code: str) -> dict:
     return json.loads(line[7:])
 
 
+LC = os.environ.get("SPARK_GRAFT_LC") == "1"
+LC_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_LC_CORES", "2"))
+LC_WORKER_MB = int(os.environ.get("SPARK_GRAFT_LC_MB", "6144"))
+
+
+def _master(cpus: int) -> str:
+    """SPARK_GRAFT_LC=1: same cores as N separate 2-core executor JVMs
+    (local-cluster) instead of one local[N] heap."""
+    if LC:
+        return f"local-cluster[{max(1, cpus // LC_EXEC_CORES)},{LC_EXEC_CORES},{LC_WORKER_MB}]"
+    return f"local[{cpus}]"
+
+
 def run_round(cpus: int, n_points: int, runs: int) -> float:
     return _run(CHILD.format(repo=REPO, cpus=cpus, n_points=n_points,
-                             runs=runs))["best_wall"]
+                             runs=runs, master=_master(cpus)))["best_wall"]
 
 
 def run_control(cpus: int) -> float:
@@ -163,6 +176,7 @@ def main() -> None:
     payload = {
         "points": n_points, "polys": 20000, "rounds": rounds,
         "runs_per_round": runs, "widths": [lo, hi],
+        **({"masters": [_master(lo), _master(hi)]} if LC else {}),
         f"wall{lo}": round(best[lo], 3), f"wall{hi}": round(best[hi], 3),
         f"thr{lo}": round(thr_lo, 1), f"thr{hi}": round(thr_hi, 1),
         "eff": eff,
@@ -171,7 +185,8 @@ def main() -> None:
         "control_eff": ctl_eff,
         "eff_vs_host": round(eff / ctl_eff, 3) if ctl_eff else None,
     }
-    with open(os.path.join(REPO, f"PIP_SCALING_{lo}v{hi}.json"), "w") as f:
+    tag = "LC_" if LC else ""
+    with open(os.path.join(REPO, f"PIP_SCALING_{tag}{lo}v{hi}.json"), "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 

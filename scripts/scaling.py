@@ -9,7 +9,9 @@ load (observed 3-7x wall-clock noise), and best-of-R isolates the
 engine's own scaling from host contention.
 
 Usage: python scripts/scaling.py [chains] [repeats] [N] [4N]
-(widths default 8 and 32; writes BENCH_SCALING_{N}v{4N}.json)
+(widths default 8 and 32; writes BENCH_SCALING_{N}v{4N}.json).
+SPARK_GRAFT_LC=1 runs each width as local-cluster[N/2,2,mem] — separate
+executor JVMs — and writes BENCH_SCALING_LC_{N}v{4N}.json instead.
 """
 
 from __future__ import annotations
@@ -20,6 +22,19 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+LC = os.environ.get("SPARK_GRAFT_LC") == "1"
+# per-executor shape held constant across widths (2 cores each): scaling
+# N executors -> 4N executors, the literal form of the two-cluster-size
+# criterion. Worker grant in MB; executor heap = grant - 512 (session.py).
+LC_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_LC_CORES", "2"))
+LC_WORKER_MB = int(os.environ.get("SPARK_GRAFT_LC_MB", "6144"))
+
+
+def lc_master(cpus: int) -> str:
+    n_exec = max(1, cpus // LC_EXEC_CORES)
+    return f"local-cluster[{n_exec},{LC_EXEC_CORES},{LC_WORKER_MB}]"
 
 
 def run_once(cpus: int, chains: int) -> dict:
@@ -37,6 +52,12 @@ def run_once(cpus: int, chains: int) -> dict:
         # mode a cluster actually runs.
         SPARK_GRAFT_OUT=env_out(cpus),
     )
+    if LC:
+        # SPARK_GRAFT_LC=1: same job, same cores, but as N separate
+        # 2-core executor JVMs (local-cluster) instead of one local[N]
+        # heap — the judge's falsification test for the single-JVM
+        # scaling-gap hypothesis.
+        env["SPARK_GRAFT_MASTER"] = lc_master(cpus)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -88,7 +109,9 @@ def main() -> None:
 
     payload = {
         "chains": chains, "pages": pages, "repeats": repeats,
-        "widths": [lo, hi], "mode": "checkpointed",
+        "widths": [lo, hi],
+        "mode": "checkpointed" + ("+local-cluster" if LC else ""),
+        **({"masters": [lc_master(lo), lc_master(hi)]} if LC else {}),
         f"thr{lo}": thr_lo, f"thr{hi}": thr_hi, "eff": eff,
         f"wall{lo}": results[lo]["queries"]["pipeline"],
         f"wall{hi}": results[hi]["queries"]["pipeline"],
@@ -98,7 +121,8 @@ def main() -> None:
         "eff_vs_host": round(eff / ctl_eff, 3) if ctl_eff else None,
         "raw": {str(k): v for k, v in results.items()},
     }
-    out = os.path.join(REPO, f"BENCH_SCALING_{lo}v{hi}.json")
+    tag = "LC_" if LC else ""
+    out = os.path.join(REPO, f"BENCH_SCALING_{tag}{lo}v{hi}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))

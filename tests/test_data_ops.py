@@ -179,12 +179,17 @@ def test_multimodal_plumbing(spark):
 
 
 def _naive_simhash(text):
-    """Original per-doc formulation, kept as the equality reference."""
-    import hashlib
-
+    """Independent per-doc formulation (plain-int FNV-1a token hash — the
+    round-4 simhash token hash), kept as the equality reference."""
     import numpy as _np
 
     from osmi_water_spark.operators.dedup import _TOKEN_RE
+
+    def fnv1a64(s):
+        h = 14695981039346656037
+        for byte in s.encode():
+            h = ((h ^ byte) * 1099511628211) % (1 << 64)
+        return h
 
     toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
     if not toks:
@@ -192,9 +197,7 @@ def _naive_simhash(text):
     acc = _np.zeros(64, dtype=_np.int64)
     shifts = _np.arange(64, dtype=_np.uint64)
     for t in toks:
-        h = _np.uint64(
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        )
+        h = _np.uint64(fnv1a64(t))
         acc += 2 * ((h >> shifts) & _np.uint64(1)).astype(_np.int64) - 1
     out = int(((acc > 0).astype(_np.uint64) << shifts).sum())
     return out - (1 << 64) if out >= (1 << 63) else out

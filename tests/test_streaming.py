@@ -169,5 +169,10 @@ def test_append_entities_batch_epoch_replay_idempotent(spark, tmp_path):
     n1 = spark.read.parquet(ents_dir).count()
     append_entities_batch(df, 0, ents_dir)  # replay of the SAME epoch
     assert spark.read.parquet(ents_dir).count() == n1
+    # a replay carrying DIFFERENT rows (nondeterministic upstream) must
+    # still be skipped — the committed epoch is the durable truth
+    df2 = extract_entities(PG.pages_dataframe(spark, PG.pages_rows(["w02_chain"])))
+    append_entities_batch(df2, 0, ents_dir)
+    assert spark.read.parquet(ents_dir).count() == n1
     append_entities_batch(df, 1, ents_dir)  # a genuinely new epoch appends
     assert spark.read.parquet(ents_dir).count() == 2 * n1
