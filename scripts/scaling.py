@@ -37,6 +37,11 @@ def lc_master(cpus: int) -> str:
     return f"local-cluster[{n_exec},{LC_EXEC_CORES},{LC_WORKER_MB}]"
 
 
+# the campaign's narrow width, set by main() (run_once consults it for the
+# SPARK_GRAFT_LO_RUNS1 single-run override)
+_LO_WIDTH = [8]
+
+
 def run_once(cpus: int, chains: int) -> dict:
     env = dict(
         os.environ,
@@ -58,9 +63,16 @@ def run_once(cpus: int, chains: int) -> dict:
         # heap — the judge's falsification test for the single-JVM
         # scaling-gap hypothesis.
         env["SPARK_GRAFT_MASTER"] = lc_master(cpus)
+    # giant-input campaigns: a single narrow-width run can approach the
+    # subprocess timeout — drop its in-bench repeat, keep it for the wide
+    # side (a slow narrow window then INFLATES eff; the same-window host
+    # control stays next to the number so the reader can tell)
+    if os.environ.get("SPARK_GRAFT_LO_RUNS1") == "1" and cpus == _LO_WIDTH[0]:
+        env["SPARK_GRAFT_RUNS"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
+        env=env, capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "3600")),
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -85,6 +97,7 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    _LO_WIDTH[0] = lo
     results: dict[int, dict] = {}
     ctl_best: dict[int, float] = {}
     # interleave widths so host-load drift hits both equally; run the
@@ -122,6 +135,7 @@ def main() -> None:
         "raw": {str(k): v for k, v in results.items()},
     }
     tag = "LC_" if LC else ""
+    tag += os.environ.get("SPARK_GRAFT_OUT_TAG", "")
     out = os.path.join(REPO, f"BENCH_SCALING_{tag}{lo}v{hi}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
