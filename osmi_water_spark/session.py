@@ -87,4 +87,20 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if lc_topo:
+        # block until every executor has registered: defaultParallelism is
+        # CAPTURED at logical-plan creation (spark.range, generators), and
+        # before registration it is max(totalCores=0, 2) — a DataFrame
+        # built in that window keeps 2 slices forever and silently caps a
+        # whole campaign at 2-way parallelism (measured: the 256M-point
+        # PIP run's probe stage ran 2 tasks on 8 cores, eff 0.25)
+        import time
+
+        want = lc_topo[0] * lc_topo[1]
+        deadline = time.time() + 60
+        while (
+            spark.sparkContext.defaultParallelism < want and time.time() < deadline
+        ):
+            time.sleep(0.2)
+    return spark

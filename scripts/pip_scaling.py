@@ -186,6 +186,7 @@ def main() -> None:
         "eff_vs_host": round(eff / ctl_eff, 3) if ctl_eff else None,
     }
     tag = "LC_" if LC else ""
+    tag += os.environ.get("SPARK_GRAFT_OUT_TAG", "")
     with open(os.path.join(REPO, f"PIP_SCALING_{tag}{lo}v{hi}.json"), "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
