@@ -121,8 +121,19 @@ if __name__ == "__main__":
 """
 
 
-def _run(code: str) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+def _run(code: str, pin_cpus: int | None = None) -> dict:
+    # SPARK_GRAFT_PIN=1: pin the ENTIRE process tree (driver JVM, executor
+    # JVMs, python workers) to exactly `pin_cpus` physical cores via
+    # taskset. Without it a "2-core" local/local-cluster run physically
+    # burns ~4-5 cores — python refine workers and the JVM's Arrow
+    # serialization threads overlap beyond the advertised task slots
+    # (measured round 4: an 8-slot run sustains ~11 cores' CPU) — which
+    # deflates every width-ratio efficiency. Pinning makes "N cores" a
+    # physical statement, like a real N-core cluster node.
+    cmd = [sys.executable, "-c", code]
+    if pin_cpus and os.environ.get("SPARK_GRAFT_PIN") == "1":
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True,
                          text=True, timeout=1800, cwd=REPO)
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
     return json.loads(line[7:])
@@ -143,11 +154,12 @@ def _master(cpus: int) -> str:
 
 def run_round(cpus: int, n_points: int, runs: int) -> float:
     return _run(CHILD.format(repo=REPO, cpus=cpus, n_points=n_points,
-                             runs=runs, master=_master(cpus)))["best_wall"]
+                             runs=runs, master=_master(cpus)),
+                pin_cpus=cpus)["best_wall"]
 
 
 def run_control(cpus: int) -> float:
-    r = _run(CONTROL.format(repo=REPO, cpus=cpus))
+    r = _run(CONTROL.format(repo=REPO, cpus=cpus), pin_cpus=cpus)
     return r["control_pts"] / r["control_wall"]
 
 
@@ -177,6 +189,7 @@ def main() -> None:
         "points": n_points, "polys": 20000, "rounds": rounds,
         "runs_per_round": runs, "widths": [lo, hi],
         **({"masters": [_master(lo), _master(hi)]} if LC else {}),
+        **({"pinned": True} if os.environ.get("SPARK_GRAFT_PIN") == "1" else {}),
         f"wall{lo}": round(best[lo], 3), f"wall{hi}": round(best[hi], 3),
         f"thr{lo}": round(thr_lo, 1), f"thr{hi}": round(thr_hi, 1),
         "eff": eff,
@@ -186,6 +199,8 @@ def main() -> None:
         "eff_vs_host": round(eff / ctl_eff, 3) if ctl_eff else None,
     }
     tag = "LC_" if LC else ""
+    if os.environ.get("SPARK_GRAFT_PIN") == "1":
+        tag += "PIN_"
     tag += os.environ.get("SPARK_GRAFT_OUT_TAG", "")
     with open(os.path.join(REPO, f"PIP_SCALING_{tag}{lo}v{hi}.json"), "w") as f:
         json.dump(payload, f, indent=2)

@@ -69,8 +69,15 @@ def run_once(cpus: int, chains: int) -> dict:
     # control stays next to the number so the reader can tell)
     if os.environ.get("SPARK_GRAFT_LO_RUNS1") == "1" and cpus == _LO_WIDTH[0]:
         env["SPARK_GRAFT_RUNS"] = "1"
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.environ.get("SPARK_GRAFT_PIN") == "1":
+        # pin the whole process tree (driver, executors, python workers) to
+        # exactly `cpus` physical cores: an unpinned "2-core" run burns
+        # ~4-5 cores through python-worker/JVM-thread overlap (see
+        # pip_scaling._run), silently deflating the width-ratio eff
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env, capture_output=True, text=True,
         timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "3600")),
     )
@@ -125,6 +132,7 @@ def main() -> None:
         "widths": [lo, hi],
         "mode": "checkpointed" + ("+local-cluster" if LC else ""),
         **({"masters": [lc_master(lo), lc_master(hi)]} if LC else {}),
+        **({"pinned": True} if os.environ.get("SPARK_GRAFT_PIN") == "1" else {}),
         f"thr{lo}": thr_lo, f"thr{hi}": thr_hi, "eff": eff,
         f"wall{lo}": results[lo]["queries"]["pipeline"],
         f"wall{hi}": results[hi]["queries"]["pipeline"],
@@ -135,6 +143,8 @@ def main() -> None:
         "raw": {str(k): v for k, v in results.items()},
     }
     tag = "LC_" if LC else ""
+    if os.environ.get("SPARK_GRAFT_PIN") == "1":
+        tag += "PIN_"
     tag += os.environ.get("SPARK_GRAFT_OUT_TAG", "")
     out = os.path.join(REPO, f"BENCH_SCALING_{tag}{lo}v{hi}.json")
     with open(out, "w") as f:
