@@ -48,3 +48,45 @@ def test_scale_generator_deterministic(spark):
     assert a == b
     assert len(a) == 80  # 16 entities per chain (11 nodes + 5 ways)
     assert len({r["url"] for r in a}) == 80  # urls unique
+
+
+def test_corrupt_payload_flagged(spark):
+    """A present-but-malformed osm+json payload must be FLAGGED, not
+    silently decoded to an all-null entity indistinguishable from a
+    payload-less page (ADVICE.md r3)."""
+    rows = PG.pages_rows(["w01_chain"])[:3]
+    good = dict(rows[0])
+    broken = dict(rows[1])
+    broken["html"] = broken["html"].replace(b'"kind"', b'"kin', 1)  # malformed JSON
+    payload_less = dict(rows[2])
+    import re as _re
+
+    payload_less["html"] = _re.sub(
+        rb'(?s)<script type="application/osm\+json">.*?</script>', b"",
+        payload_less["html"],
+    )
+    out = extract_entities(PG.pages_dataframe(spark, [good, broken, payload_less]))
+    by_url = {r.url: r for r in out.collect()}
+    assert by_url[good["url"]].corrupt is False and by_url[good["url"]].kind is not None
+    assert by_url[broken["url"]].corrupt is True and by_url[broken["url"]].kind is None
+    assert by_url[payload_less["url"]].corrupt is False
+    assert by_url[payload_less["url"]].kind is None
+
+
+def test_stale_entities_checkpoint_fails_loudly(spark, tmp_path):
+    """A checkpoint written under an older extraction contract (string
+    members) must raise a clear stale-checkpoint error on resume, not be
+    silently null-filled (ADVICE.md r3)."""
+    import pytest
+
+    from osmi_water_spark.operators.extract import validate_entities_schema
+
+    old = spark.createDataFrame(
+        [("u", "t", "way", 1, None, None, "[1,2]", "[]", "{}", 0)],
+        "url string, text string, kind string, id long, lon double, "
+        "lat double, node_ids string, members string, tags string, ts long",
+    )
+    path = str(tmp_path / "entities")
+    old.write.parquet(path)
+    with pytest.raises(ValueError, match="stale entities checkpoint"):
+        validate_entities_schema(spark, path)
