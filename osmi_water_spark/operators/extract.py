@@ -96,8 +96,12 @@ def extract_entities(pages: DataFrame) -> DataFrame:
         ).alias("tags"),
         F.col("_e.ts").alias("ts"),
         # payload present but PERMISSIVE from_json produced no entity ->
-        # malformed page, countable/filterable instead of silently null
-        (F.col("_has_payload") & F.col("_e.kind").isNull()).alias("corrupt"),
+        # malformed page, countable/filterable instead of silently null.
+        # coalesce: a NULL html makes _has_payload NULL, and three-valued
+        # logic would leak NULL into the flag — corrupt is always concrete
+        F.coalesce(
+            F.col("_has_payload") & F.col("_e.kind").isNull(), F.lit(False)
+        ).alias("corrupt"),
     )
 
 
@@ -111,7 +115,22 @@ def validate_entities_schema(spark, path: str) -> None:
     from pyspark.sql import types as T2
 
     want = T2.StructType.fromDDL(EXTRACT_SCHEMA)
-    got = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    # mergeSchema: without it Spark samples ONE footer, so a mixed-version
+    # dir (old-contract epochs + new-contract epochs appended after an
+    # upgrade — the exact incremental scenario this guards) can pass if the
+    # sampled file happens to be new-schema. Merging unions every file's
+    # schema; a contract-type conflict then either surfaces as a changed
+    # merged type (caught below) or as Spark's own merge error (re-raised
+    # with the stale-checkpoint message).
+    try:
+        got_schema = spark.read.option("mergeSchema", "true").parquet(path).schema
+    except Exception as e:  # irreconcilable epoch schemas: same verdict
+        raise ValueError(
+            f"stale entities checkpoint at {path}: epoch schemas conflict "
+            f"({e}) — delete the checkpoint (and downstream stage dirs "
+            "built from it) and re-run"
+        ) from e
+    got = {f.name: f.dataType for f in got_schema.fields}
     bad = [f.name for f in want.fields if got.get(f.name) != f.dataType]
     if bad:
         raise ValueError(

@@ -886,10 +886,10 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.25).select("a", "b")
 
 
-def _sql_embedding_near_dups() -> str:
+def _emb_bucket_sql() -> str:
     """The seeded 16x64 hyperplane matrix inlined as SQL literals: DuckDB
-    reproduces the bucket assignment and the exact-cosine verify in DOUBLE
-    (repr() round-trips each float64 exactly)."""
+    reproduces the bucket assignment in DOUBLE (repr() round-trips each
+    float64 exactly). Shared by the plain and capped embedding oracles."""
     from osmi_water_spark.operators.dedup import _HYPER
 
     terms = []
@@ -898,10 +898,13 @@ def _sql_embedding_near_dups() -> str:
         terms.append(
             f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
         )
-    bucket = "\n    + ".join(terms)
+    return "\n    + ".join(terms)
+
+
+def _sql_embedding_near_dups() -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+b AS (SELECT vec_id, v, {_emb_bucket_sql()} AS bucket FROM e),
 p AS (
   SELECT l.vec_id AS a, r.vec_id AS b,
          list_dot_product(l.v, r.v)
@@ -912,6 +915,57 @@ SELECT a, b FROM p WHERE cosine >= 0.25
 
 
 SQL_EMB_NEAR_DUPS = _sql_embedding_near_dups()
+
+EMB_SKEW_FIXTURE = os.path.join(_FIXTURE_DIR, "emb_skew.parquet")
+
+
+def q_embedding_near_dups_capped(spark, sf_dir):
+    """The SKEW-CONTROL branches of embedding LSH under the oracle gate
+    (VERDICT.md r4 next #7, mirroring minhash_near_dups_capped): salt=4
+    exercises the salted hot-bucket self-join (exact — changes no pairs)
+    and max_bucket=2 stars the over-cap buckets. The driver tables are too
+    uniform for the cap to bind (sf0.01's largest bucket holds 2 vectors),
+    so the input is the committed deterministic SKEWED corpus
+    tests/fixtures/emb_skew.parquet (scripts/make_emb_skew_fixture.py: two
+    over-cap buckets, capped pair set 25 != uncapped 279, every bucket/
+    threshold decision margin-guarded against summation-order wobble).
+    The oracle recomputes bucket assignment, bucket sizes, the min-id star
+    cap, and the DOUBLE cosine verify independently in DuckDB."""
+    from osmi_water_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(EMB_SKEW_FIXTURE)
+    return embedding_near_dups(
+        emb, threshold=0.8, salt=4, max_bucket=2
+    ).select("a", "b")
+
+
+def _sql_embedding_near_dups_capped() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM read_parquet('{EMB_SKEW_FIXTURE}')),
+b AS (SELECT vec_id, v, {_emb_bucket_sql()} AS bucket FROM e),
+sz AS (SELECT bucket, COUNT(*) AS bsz FROM b GROUP BY bucket),
+bs AS (SELECT b.vec_id, b.v, b.bucket, sz.bsz FROM b JOIN sz USING (bucket)),
+reps AS (SELECT bucket, MIN(vec_id) AS rep FROM bs WHERE bsz > 2 GROUP BY bucket),
+cand AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+  FROM bs l JOIN bs r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE l.bsz <= 2
+  UNION ALL
+  SELECT reps.rep AS a, o.vec_id AS b, rv.v AS va, o.v AS vb
+  FROM reps
+  JOIN bs o ON o.bucket = reps.bucket AND o.vec_id <> reps.rep
+  JOIN bs rv ON rv.bucket = reps.bucket AND rv.vec_id = reps.rep),
+p AS (
+  SELECT a, b,
+         list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)) + 1e-12) AS cosine
+  FROM cand)
+SELECT DISTINCT a, b FROM p WHERE cosine >= 0.8
+"""
+
+
+SQL_EMB_NEAR_DUPS_CAPPED = _sql_embedding_near_dups_capped()
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1050,6 +1104,7 @@ QUERIES = {
     "minhash_near_dups_capped": q_minhash_near_dups_capped,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_capped": q_embedding_near_dups_capped,
     "ann_ivf": q_ann_ivf,
     "pipeline_nodes": q_pipeline_nodes,
     "multimodal_features": q_multimodal_features,
@@ -1078,6 +1133,7 @@ ORACLES = {
     "minhash_near_dups": SQL_MINHASH,
     "minhash_near_dups_capped": SQL_MINHASH_CAPPED,
     "simhash_near_dups": SQL_SIMHASH,
+    "embedding_near_dups_capped": SQL_EMB_NEAR_DUPS_CAPPED,
 }
 
 

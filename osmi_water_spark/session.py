@@ -98,9 +98,23 @@ def get_spark(
         import time
 
         want = lc_topo[0] * lc_topo[1]
-        deadline = time.time() + 60
+        deadline = time.time() + float(os.environ.get("SPARK_GRAFT_LC_WAIT", "60"))
         while (
             spark.sparkContext.defaultParallelism < want and time.time() < deadline
         ):
             time.sleep(0.2)
+        got = spark.sparkContext.defaultParallelism
+        if got < want:
+            # falling through silently would hand back a session whose
+            # defaultParallelism may still be 2 — the exact silent 2-slice
+            # plan-capture bug this wait exists to prevent (ADVICE.md r4).
+            # A campaign on a mis-registered cluster is worse than no run.
+            spark.stop()
+            raise RuntimeError(
+                f"local-cluster executors failed to register within the "
+                f"deadline: defaultParallelism={got} < {want} "
+                f"({lc_topo[0]} executors x {lc_topo[1]} cores). The worker "
+                "JVMs may be resource-starved; raise SPARK_GRAFT_LC_WAIT or "
+                "free cores/memory and retry."
+            )
     return spark

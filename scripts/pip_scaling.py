@@ -133,8 +133,10 @@ def _run(code: str, pin_cpus: int | None = None) -> dict:
     cmd = [sys.executable, "-c", code]
     if pin_cpus and os.environ.get("SPARK_GRAFT_PIN") == "1":
         cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True,
-                         text=True, timeout=1800, cwd=REPO)
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "1800")), cwd=REPO,
+    )
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
     return json.loads(line[7:])
 

@@ -127,9 +127,16 @@ def main() -> None:
     ctl_eff = round((ctl_best[hi] / ctl_best[lo]) / (hi / lo), 3)
     pages = results[hi]["pages"]
 
+    # self-describing repeat counts: an SPARK_GRAFT_LO_RUNS1 record drops
+    # the narrow width's in-bench best-of repeat (which can inflate eff);
+    # record it in the payload like pinned/masters so the reader never has
+    # to infer it from a missing raw.pipeline_run2 (ADVICE.md r4)
+    bench_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    lo_runs = 1 if os.environ.get("SPARK_GRAFT_LO_RUNS1") == "1" else bench_runs
     payload = {
         "chains": chains, "pages": pages, "repeats": repeats,
         "widths": [lo, hi],
+        "runs_in_bench": {str(lo): lo_runs, str(hi): bench_runs},
         "mode": "checkpointed" + ("+local-cluster" if LC else ""),
         **({"masters": [lc_master(lo), lc_master(hi)]} if LC else {}),
         **({"pinned": True} if os.environ.get("SPARK_GRAFT_PIN") == "1" else {}),

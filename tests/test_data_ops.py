@@ -300,6 +300,31 @@ def test_embedding_near_dups_salt_and_cap(spark):
     assert {i for i in range(12)} <= members
 
 
+def test_embedding_capped_matches_skew_fixture_semantics(spark):
+    """The emb_skew fixture corpus (the embedding_near_dups_capped oracle
+    input, scripts/make_emb_skew_fixture.py) under the engine: capped output
+    genuinely differs from uncapped, stars bind (2 over-cap buckets), salt
+    changes nothing, and the pair counts match the generator's asserted
+    25/279 (VERDICT.md r4 next #7)."""
+    import os as _os
+
+    from osmi_water_spark.operators.dedup import embedding_near_dups
+    from osmi_water_spark.plans.testdata_queries import EMB_SKEW_FIXTURE
+
+    assert _os.path.exists(EMB_SKEW_FIXTURE)
+    df = spark.read.parquet(EMB_SKEW_FIXTURE)
+    uncapped = {(r.a, r.b) for r in embedding_near_dups(df, threshold=0.8).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in embedding_near_dups(df, threshold=0.8, salt=4, max_bucket=2).collect()
+    }
+    assert len(uncapped) == 279 and len(capped) == 25
+    assert capped != uncapped and capped <= uncapped
+    # connectivity preserved: every clustered id reachable from its rep
+    members = {a for a, _ in capped} | {b for _, b in capped}
+    assert {i for i in range(27)} <= members
+
+
 def test_bruteforce_query_guard(spark, emb):
     from osmi_water_spark.operators.similarity import cosine_topk_bruteforce
 

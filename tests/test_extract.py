@@ -73,6 +73,21 @@ def test_corrupt_payload_flagged(spark):
     assert by_url[payload_less["url"]].kind is None
 
 
+def test_corrupt_flag_concrete_on_null_html(spark):
+    """A NULL html page must yield corrupt=False, not NULL: length(NULL)>0
+    is NULL and three-valued logic would otherwise leak NULL into the flag,
+    breaking boolean filters/counts on it (ADVICE.md r4)."""
+    rows = PG.pages_rows(["w01_chain"])[:1]
+    null_html = dict(rows[0])
+    null_html["html"] = None
+    out = extract_entities(PG.pages_dataframe(spark, [null_html])).collect()[0]
+    assert out.corrupt is False  # concrete boolean, not None
+    assert out.kind is None
+    # and the flag column is filterable as a plain boolean
+    df = extract_entities(PG.pages_dataframe(spark, [null_html, dict(rows[0])]))
+    assert df.filter(~F.col("corrupt")).count() == 2
+
+
 def test_stale_entities_checkpoint_fails_loudly(spark, tmp_path):
     """A checkpoint written under an older extraction contract (string
     members) must raise a clear stale-checkpoint error on resume, not be
@@ -90,3 +105,39 @@ def test_stale_entities_checkpoint_fails_loudly(spark, tmp_path):
     old.write.parquet(path)
     with pytest.raises(ValueError, match="stale entities checkpoint"):
         validate_entities_schema(spark, path)
+
+
+def test_mixed_epoch_checkpoint_fails_loudly(spark, tmp_path):
+    """A MIXED-version entities dir — old-contract epochs plus new-contract
+    epochs appended after an engine upgrade, the exact incremental_pipeline
+    scenario the guard targets — must fail validation even when Spark's
+    single-footer schema sampling would happen to pick a new-contract file
+    (ADVICE.md r4: validate with mergeSchema so every epoch is checked)."""
+    import pytest
+
+    from osmi_water_spark.operators.extract import (
+        EXTRACT_SCHEMA,
+        validate_entities_schema,
+    )
+    from osmi_water_spark.sources import pages_gen as PG2
+
+    path = str(tmp_path / "entities")
+    # epoch=0: OLD contract (string members/tags — pre-typed-columns engine)
+    spark.createDataFrame(
+        [("u", "t", "way", 1, None, None, "[1,2]", "[]", "{}", 0)],
+        "url string, text string, kind string, id long, lon double, "
+        "lat double, node_ids string, members string, tags string, ts long",
+    ).write.parquet(path + "/epoch=0")
+    # epoch=1: CURRENT contract
+    extract_entities(
+        PG2.pages_dataframe(spark, PG.pages_rows(["w01_chain"])[:2])
+    ).write.parquet(path + "/epoch=1")
+    with pytest.raises(ValueError, match="stale entities checkpoint"):
+        validate_entities_schema(spark, path)
+    # sanity: a PURE current-contract dir still validates clean
+    clean = str(tmp_path / "entities_clean")
+    extract_entities(
+        PG2.pages_dataframe(spark, PG.pages_rows(["w01_chain"])[:2])
+    ).write.parquet(clean + "/epoch=1")
+    validate_entities_schema(spark, clean)
+    assert EXTRACT_SCHEMA  # contract string stays importable for callers
