@@ -133,12 +133,24 @@ def _run(code: str, pin_cpus: int | None = None) -> dict:
     cmd = [sys.executable, "-c", code]
     if pin_cpus and os.environ.get("SPARK_GRAFT_PIN") == "1":
         cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True,
-        timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "1800")), cwd=REPO,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
-    return json.loads(line[7:])
+    # retry once on a no-RESULT exit (transient executor-registration miss /
+    # killed JVM), and surface the child's stderr instead of a bare
+    # IndexError — same hardening as scaling.run_once
+    last = None
+    for attempt in range(2):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "1800")), cwd=REPO,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
+        if lines:
+            return json.loads(lines[-1][7:])
+        last = out
+        print(f"_run attempt {attempt}: no RESULT line (rc={out.returncode}); "
+              "stderr tail:", flush=True)
+        print("\n".join(out.stderr.strip().splitlines()[-25:]), flush=True)
+    raise RuntimeError(
+        f"child produced no RESULT line after 2 attempts (rc={last.returncode})")
 
 
 LC = os.environ.get("SPARK_GRAFT_LC") == "1"

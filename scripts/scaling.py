@@ -76,13 +76,29 @@ def run_once(cpus: int, chains: int) -> dict:
         # ~4-5 cores through python-worker/JVM-thread overlap (see
         # pip_scaling._run), silently deflating the width-ratio eff
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd,
-        env=env, capture_output=True, text=True,
-        timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "3600")),
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # one retry on a no-JSON exit: a transient executor-registration miss
+    # (get_spark now hard-fails on it, session.py) or a killed JVM should
+    # cost one re-run, not a whole multi-hour campaign — and when both
+    # attempts fail, the child's stderr is the diagnosis, so print it
+    # instead of dying on a bare IndexError (lost 25 min of 24M-page wall
+    # that way once)
+    last = None
+    for attempt in range(2):
+        out = subprocess.run(
+            cmd,
+            env=env, capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "3600")),
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last = out
+        print(f"run_once(cpus={cpus}) attempt {attempt}: no JSON from bench.py "
+              f"(rc={out.returncode}); stderr tail:", flush=True)
+        print("\n".join(out.stderr.strip().splitlines()[-25:]), flush=True)
+    raise RuntimeError(
+        f"bench.py produced no JSON at cpus={cpus} after 2 attempts "
+        f"(rc={last.returncode}); see stderr tail above")
 
 
 def env_out(cpus: int) -> str:
