@@ -141,7 +141,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ONLY") == "pipeline":
         print(json.dumps({"metric": "pipeline_docs_per_sec", "value": docs_per_sec,
                           "unit": "sec", "queries": times, "sf": sf,
-                          "pages": n_pages, "cpus": cpus}))
+                          "pages": n_pages, "cpus": cpus,
+                          "loadavg_end": [round(x, 2) for x in os.getloadavg()]}))
         spark.stop()
         return
 
@@ -207,6 +208,11 @@ def main() -> None:
                 "pages": n_pages,
                 "cpus": cpus,
                 "total_sec": total,
+                # window self-description: this sandbox's external load
+                # swings wall-clock up to 7x; the 1/5/15-min load averages
+                # at exit let a reader judge a record's window without
+                # cross-referencing BENCH.md narratives
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
