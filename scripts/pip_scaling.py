@@ -166,7 +166,17 @@ def _master(cpus: int) -> str:
     return f"local[{cpus}]"
 
 
+_LO_WIDTH: list[int] = []  # set by main(); used by the LO_RUNS1 override
+
+
 def run_round(cpus: int, n_points: int, runs: int) -> float:
+    # giant-input campaigns: a single narrow-width run can approach the
+    # subprocess timeout — SPARK_GRAFT_LO_RUNS1=1 drops its in-bench
+    # repeat, keeping best-of-K on the wide side (a slow narrow window
+    # then INFLATES eff; the same-window host control stays next to the
+    # number so the reader can tell). Recorded in runs_in_bench.
+    if os.environ.get("SPARK_GRAFT_LO_RUNS1") == "1" and _LO_WIDTH and cpus == _LO_WIDTH[0]:
+        runs = 1
     return _run(CHILD.format(repo=REPO, cpus=cpus, n_points=n_points,
                              runs=runs, master=_master(cpus)),
                 pin_cpus=cpus)["best_wall"]
@@ -183,6 +193,7 @@ def main() -> None:
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    _LO_WIDTH[:] = [lo]
     best: dict[int, float] = {}
     ctl_best: dict[int, float] = {}
     for r in range(rounds):
@@ -199,9 +210,12 @@ def main() -> None:
     thr_lo, thr_hi = n_points / best[lo], n_points / best[hi]
     eff = round((thr_hi / thr_lo) / (hi / lo), 3)
     ctl_eff = round((ctl_best[hi] / ctl_best[lo]) / (hi / lo), 3)
+    lo_runs = 1 if os.environ.get("SPARK_GRAFT_LO_RUNS1") == "1" else runs
     payload = {
         "points": n_points, "polys": 20000, "rounds": rounds,
         "runs_per_round": runs, "widths": [lo, hi],
+        "runs_in_bench": {str(lo): lo_runs, str(hi): runs},
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         **({"masters": [_master(lo), _master(hi)]} if LC else {}),
         **({"pinned": True} if os.environ.get("SPARK_GRAFT_PIN") == "1" else {}),
         f"wall{lo}": round(best[lo], 3), f"wall{hi}": round(best[hi], 3),
