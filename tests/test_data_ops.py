@@ -415,3 +415,39 @@ def test_knn_cells_widen_recovers_sparse_points(spark):
         for r in knn_join_exact(pts, nbr, k=2).collect()
     }
     assert widened == exact and len(widened) == 4
+
+
+# ---------------- round-5: vectorized token-hash identity (adversarial shapes) ----------------
+
+
+def test_byte_position_hashes_match_scalar_on_adversarial_batch():
+    """`_crc32_strs` / `_fnv1a64_strs` must equal the scalar references
+    (zlib.crc32 / plain-int FNV-1a-64) on the shapes the vectorized loop
+    special-cases: a multi-KB unbroken token (the scalar-tail branch,
+    VERDICT r4 What's-wrong #4), empty strings, multibyte utf-8, and
+    lengths straddling the tail cutoff."""
+    import zlib
+
+    import numpy as _np
+
+    from osmi_water_spark.operators.dedup import _crc32_strs, _fnv1a64_strs
+
+    def fnv1a64(s: str) -> int:
+        h = 14695981039346656037
+        for byte in s.encode():
+            h = ((h ^ byte) * 1099511628211) % (1 << 64)
+        return h
+
+    batch = (
+        ["x" * 32768, "y" * 4097]                     # multi-KB blobs -> scalar tail
+        + ["tok%d" % i for i in range(50)]            # bulk short tokens
+        + ["", "a", "ab", "ünïcode-ß" * 7]           # empty / 1-byte / multibyte
+        + ["m" * n for n in (7, 8, 9, 63, 64, 65)]   # straddle tail_cutoff prefixes
+    )
+    got_crc = _crc32_strs(batch)
+    want_crc = _np.array([zlib.crc32(s.encode()) for s in batch], dtype=_np.uint64)
+    assert (got_crc == want_crc).all()
+
+    got_fnv = _fnv1a64_strs(batch)
+    want_fnv = _np.array([fnv1a64(s) for s in batch], dtype=_np.uint64)
+    assert (got_fnv == want_fnv).all()
