@@ -194,6 +194,21 @@ def main() -> None:
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     _LO_WIDTH[:] = [lo]
+    if os.environ.get("SPARK_GRAFT_CTL_ONLY") == "1":
+        # window probe: run ONLY the pinned numpy host control at both
+        # widths (~1 min) and report what the host offers right now, so a
+        # 20+ minute giant-input campaign is launched only into a window
+        # whose control_eff clears the clean-window gate (>= ~0.9).
+        c_lo, c_hi = run_control(lo), run_control(hi)
+        ctl_eff = round((c_hi / c_lo) / (hi / lo), 3)
+        print(json.dumps({
+            "probe": "control_only", "widths": [lo, hi],
+            f"control_thr{lo}": round(c_lo, 1),
+            f"control_thr{hi}": round(c_hi, 1),
+            "control_eff": ctl_eff,
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }))
+        return
     best: dict[int, float] = {}
     ctl_best: dict[int, float] = {}
     for r in range(rounds):
