@@ -118,24 +118,27 @@ def main() -> None:
                 )
             )
 
-    # best-of-2: the sandbox host shows up to 7x external wall-clock noise
-    # (see BENCH.md); two runs bound the damage of an unlucky window.
+    # best-of-N (default 3): the sandbox host shows up to 7x external
+    # wall-clock noise (see BENCH.md) — round 4's "regressions" were
+    # single-bad-window artifacts, and an observed in-session swing of
+    # 44.7 -> 18.7 s on the SAME plan motivated the round-5 move from
+    # best-of-2 to best-of-3 (matching the secondary rows).
     # clearCache between runs — Spark's CacheManager is plan-keyed, so a
-    # second identical run would otherwise read the first run's cache.
-    # SPARK_GRAFT_RUNS=1 drops the repeat (giant-input scaling campaigns
+    # repeat identical run would otherwise read the prior run's cache.
+    # SPARK_GRAFT_RUNS=1 drops repeats (giant-input scaling campaigns
     # where one narrow-width run alone approaches the subprocess timeout).
-    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timed("pipeline", run_pipe)
-    first = times["pipeline"]
-    times["pipeline_run1"] = first
-    if n_runs > 1:
+    best = times["pipeline"]
+    times["pipeline_run1"] = best
+    for r in range(2, n_runs + 1):
         spark.catalog.clearCache()
         pages = scale_pages_df(spark, chains).cache()
         pages.count()
         timed("pipeline", run_pipe)
-        second = times["pipeline"]
-        times["pipeline"] = min(first, second)
-        times["pipeline_run2"] = second
+        times[f"pipeline_run{r}"] = times["pipeline"]
+        best = min(best, times["pipeline"])
+    times["pipeline"] = best
     docs_per_sec = round(n_pages / times["pipeline"], 1)
 
     if os.environ.get("SPARK_GRAFT_ONLY") == "pipeline":

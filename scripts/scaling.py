@@ -63,6 +63,11 @@ def run_once(cpus: int, chains: int) -> dict:
         # heap — the judge's falsification test for the single-JVM
         # scaling-gap hypothesis.
         env["SPARK_GRAFT_MASTER"] = lc_master(cpus)
+    # campaigns keep best-of-2 (recorded in runs_in_bench) even though
+    # standalone bench.py defaults to best-of-3 — a campaign interleaves
+    # its own rounds, so the extra in-bench repeat only stretches walls
+    if "SPARK_GRAFT_RUNS" not in os.environ:
+        env["SPARK_GRAFT_RUNS"] = "2"
     # giant-input campaigns: a single narrow-width run can approach the
     # subprocess timeout — drop its in-bench repeat, keep it for the wide
     # side (a slow narrow window then INFLATES eff; the same-window host
