@@ -55,6 +55,23 @@ _B = _rs.randint(0, _MERSENNE, size=_NUM_PERM, dtype=np.int64)
 _TOKEN_RE = re.compile(r"\W+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give the signature stage full parallelism when the input arrives in
+    fewer partitions than the session can run: a single small parquet file
+    (one row group) scans as 1-2 split-proof partitions, which serializes
+    the Arrow signature UDF onto 1-2 cores while the rest of the box idles
+    (guide §2.6 straggler shape — measured 4.2 s -> 0.8 s for the sf1.0
+    signature pass on local[32]). The one extra exchange moves only the
+    raw (id, text/vector) rows once. No-op at scale: a 100-TB input
+    already has far more partitions than cores, so the branch never fires
+    there and no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 # ---------------- exact ----------------
 
 
@@ -311,9 +328,19 @@ def minhash_signatures_batch(texts, n: int = 3) -> np.ndarray:
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
-def minhash_udf(text: pd.Series) -> pd.Series:
+def _minhash_udf(text: pd.Series) -> pd.Series:
     sigs = minhash_signatures_batch(text.tolist())
     return pd.Series(list(sigs.tolist()))
+
+
+# asNondeterministic (guide §4.4): the bucket keys downstream derive from
+# the signature column, so the self-join's inferred isnotnull(key) filters
+# reference the UDF output; the optimizer pushes them below the projection
+# and DUPLICATES the UDF under the pushed filter — the sf1.0 plan carried
+# TWO ArrowEvalPython nodes per join branch (the whole signature pass ran
+# 2x per side). The functions are pure; the flag only forbids the
+# optimizer from re-evaluating/reordering them.
+minhash_udf = _minhash_udf.asNondeterministic()
 
 
 def minhash_bands(
@@ -322,7 +349,9 @@ def minhash_bands(
 ) -> DataFrame:
     """doc -> (doc_id, band, band_hash) bucket rows (LSH banding)."""
     assert bands * rows == _NUM_PERM
-    sig = docs.select(F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig"))
+    sig = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -386,8 +415,14 @@ def lsh_candidate_pairs(
         l = l.withColumn("salt", F.pmod(F.hash("a"), F.lit(salt)))
         r = r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         keys = keys + ["salt"]
+    # merge hint: without it the planner broadcasts one side of the
+    # self-join, which abandons the shared up-front Exchange — the whole
+    # bucket branch (signature UDF included) is then computed a second time
+    # to build the broadcast relation. SMJ keeps both sides reading the ONE
+    # ReusedExchange (guide §2.4/§3.1), and is the strategy that survives
+    # at 100 TB anyway (spills gracefully; no 8 GB broadcast cap).
     pairs = (
-        l.join(r, keys, "inner")
+        l.join(r.hint("merge"), keys, "inner")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
@@ -546,15 +581,32 @@ def simhash_batch(texts) -> np.ndarray:
 
 
 @pandas_udf(T.LongType())
-def simhash_udf(text: pd.Series) -> pd.Series:
+def _simhash_udf(text: pd.Series) -> pd.Series:
     return pd.Series(simhash_batch(text.tolist()))
 
 
+# see minhash_udf: stops the pushed isnotnull(chunk/val) join-key filters
+# from duplicating the signature pass (guide §4.4)
+simhash_udf = _simhash_udf.asNondeterministic()
+
+
 def simhash_candidates(docs: DataFrame, text_col="text", id_col="doc_id",
-                       chunks: int = 4) -> DataFrame:
+                       chunks: int = 4, max_hamming: int | None = None) -> DataFrame:
     """Candidate pairs sharing any 16-bit simhash chunk (classic 64/4 split:
-    catches all pairs with hamming distance <= 3)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
+    catches all pairs with hamming distance <= 3).
+
+    ``max_hamming`` pushes the hamming threshold BELOW the dedup exchange:
+    a dup-heavy corpus collapses into hot chunk buckets whose self-join
+    emits O(n^2) candidate rows (measured 24.6M pairs from 50k sf1.0 docs,
+    hottest bucket 1890 docs), and the old shape shuffled every one of
+    them — four columns wide — through the distinct. hamming is a pure
+    function of (sha, shb), so filtering before the distinct and dropping
+    sha/shb from the exchange is row-identical (guide §2.3 "shuffle fewer
+    bytes": 24.6M x 32 B -> 3.6M x 24 B on the sf1.0 corpus). The filter
+    runs inside the join stage's codegen, before any shuffle write."""
+    sh = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh")
+    )
     w = 64 // chunks
     chunk_cols = [
         F.struct(F.lit(c).alias("chunk"),
@@ -569,16 +621,21 @@ def simhash_candidates(docs: DataFrame, text_col="text", id_col="doc_id",
     b = b.repartition("chunk", "val")
     l = b.select("chunk", "val", F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     r = b.select("chunk", "val", F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
-    pairs = (
-        l.join(r, ["chunk", "val"], "inner").filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sha", "shb").distinct()
-    )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return pairs.select("a", "b", hamming.alias("hamming"))
+    # merge hint: keep the self-join on the ONE reused Exchange instead of
+    # a broadcast that would recompute the signature branch (see
+    # lsh_candidate_pairs)
+    pairs = (
+        l.join(r.hint("merge"), ["chunk", "val"], "inner").filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.distinct()
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    return simhash_candidates(docs, **kw).filter(F.col("hamming") <= max_hamming)
+    return simhash_candidates(docs, max_hamming=max_hamming, **kw)
 
 
 # ---------------- embedding cosine near-dup ----------------
@@ -587,11 +644,16 @@ _HYPER = np.random.RandomState(_SEED + 1).randn(16, 64)
 
 
 @pandas_udf(T.IntegerType())
-def hyperplane_bucket(emb: pd.Series) -> pd.Series:
+def _hyperplane_bucket(emb: pd.Series) -> pd.Series:
     """16-bit random-hyperplane LSH bucket (seeded) for 64-dim embeddings."""
     m = np.vstack(emb.to_numpy())
     signs = (m @ _HYPER.T) > 0
     return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
+
+
+# see minhash_udf: stops the pushed isnotnull(bucket) join-key filters
+# from duplicating the bucket pass (guide §4.4)
+hyperplane_bucket = _hyperplane_bucket.asNondeterministic()
 
 
 def embedding_near_dups(
@@ -604,7 +666,7 @@ def embedding_near_dups(
     switches over-cap buckets to a min-id star (connectivity-preserving cap
     on the quadratic pair count — a dup-heavy corpus collapses into few
     buckets, and emitting every intra-cluster edge is pointless)."""
-    b = emb.select(
+    b = _spread(emb).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col)).alias("bucket"),
     ).repartition("bucket")  # shared Exchange: bucket UDF once, all readers reuse
@@ -633,7 +695,9 @@ def embedding_near_dups(
         l = l.withColumn("salt", F.pmod(F.hash("a"), F.lit(salt)))
         r = r.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         keys = ["bucket", "salt"]
-    pairs = l.join(r, keys, "inner").filter(F.col("a") < F.col("b")).select(
+    # merge hint: see lsh_candidate_pairs — keeps the bucket self-join on
+    # the one reused Exchange instead of recomputing the branch to broadcast
+    pairs = l.join(r.hint("merge"), keys, "inner").filter(F.col("a") < F.col("b")).select(
         "a", "b", "va", "vb"
     )
     if star is not None:
