@@ -55,21 +55,9 @@ _B = _rs.randint(0, _MERSENNE, size=_NUM_PERM, dtype=np.int64)
 _TOKEN_RE = re.compile(r"\W+")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Give the signature stage full parallelism when the input arrives in
-    fewer partitions than the session can run: a single small parquet file
-    (one row group) scans as 1-2 split-proof partitions, which serializes
-    the Arrow signature UDF onto 1-2 cores while the rest of the box idles
-    (guide §2.6 straggler shape — measured 4.2 s -> 0.8 s for the sf1.0
-    signature pass on local[32]). The one extra exchange moves only the
-    raw (id, text/vector) rows once. No-op at scale: a 100-TB input
-    already has far more partitions than cores, so the branch never fires
-    there and no shuffle is added."""
-    sc = df.sparkSession.sparkContext
-    want = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+# signature-stage parallelism guard (measured 4.2 s -> 0.8 s for the sf1.0
+# signature pass on local[32]; no-op when the input is already wide)
+from osmi_water_spark.parallel import spread_input as _spread  # noqa: E402
 
 
 # ---------------- exact ----------------

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osmi_water_spark.functions import cells as C
+from osmi_water_spark.parallel import spread_input
 
 
 def _ranked(cand: DataFrame, k: int) -> DataFrame:
@@ -45,7 +46,11 @@ def knn_join_exact(points: DataFrame, neighbors: DataFrame, k: int = 3) -> DataF
             F.col("neighbor_id"), F.col("lon").alias("n_lon"), F.col("lat").alias("n_lat")
         )
     )
-    return _ranked(points.crossJoin(n), k)
+    # spread_input: the broadcast-nested-loop output inherits the POINT
+    # side's partitioning, so a narrow point set would generate (and
+    # shuffle-write for the window) every candidate row on 1-2 cores
+    # (measured 1.14 s -> 0.38 s at sf1.0); no-op when points are wide
+    return _ranked(spread_input(points).crossJoin(n), k)
 
 
 def _cells_pass(points: DataFrame, neighbors: DataFrame, k: int, res: int, ring: int) -> DataFrame:

@@ -24,6 +24,25 @@ from osmi_water_spark.functions import cells as C
 from osmi_water_spark.functions import errors as E
 from osmi_water_spark.functions import tags as TG
 from osmi_water_spark.functions.width import width_struct
+from osmi_water_spark.parallel import spread_input
+
+
+def _layer_counts(base: DataFrame, layers: list[tuple[str, str]]) -> DataFrame:
+    """(layer, n) counts over ``base`` in ONE pass: conditional aggregation
+    + stack unpivot. Replaces the previous cache + per-layer filter->agg
+    union shape, which ran one scan of the cached base PER layer (and paid
+    the columnar cache build). count(CASE WHEN cond) per layer is
+    row-identical to count(*) of filter(cond); the single Aggregate keeps
+    map-side partial aggregation, so a 100-TB base is read once and only
+    len(layers) counters cross the exchange (guide §2.3/§2.4)."""
+    aggs = [
+        F.count(F.when(F.expr(cond), F.lit(1))).alias(f"_c{i}")
+        for i, (_, cond) in enumerate(layers)
+    ]
+    stacked = ", ".join(f"'{name}', _c{i}" for i, (name, _) in enumerate(layers))
+    return base.agg(*aggs).select(
+        F.expr(f"stack({len(layers)}, {stacked}) AS (layer, n)")
+    )
 
 # ---------------- shared derivations ----------------
 
@@ -66,12 +85,17 @@ def _tags_from_key(k):
     est_width = F.when(k % 3 == 0, F.lit("7"))
     bridge = F.when(k % 17 == 0, F.lit("yes"))
     tunnel = F.when(k % 19 == 0, F.lit("culvert"))
-    m = F.create_map(
+    # plain create_map, no null-dropping map_filter: every consumer reads
+    # tags via getItem (tags.py is getItem-only), for which a missing key
+    # and a null value are indistinguishable — and map_filter is a
+    # higher-order lambda that falls out of whole-stage codegen into
+    # interpreted eval (measured 2.05 s -> 1.30 s for the flags projection
+    # over sf1.0 orders on local[32], guide §4.1 "prefer built-ins").
+    return F.create_map(
         F.lit("waterway"), ww, F.lit("natural"), natural, F.lit("landuse"), landuse,
         F.lit("water"), water, F.lit("name"), name, F.lit("width"), width,
         F.lit("est_width"), est_width, F.lit("bridge"), bridge, F.lit("tunnel"), tunnel,
     )
-    return F.map_filter(m, lambda _, v: v.isNotNull())
 
 
 # same tag values as SQL snippets (oracle side)
@@ -123,8 +147,11 @@ RES_CELL = 7
 
 
 def _ways_geo(spark: SparkSession, sf_dir: str, ncust: int):
-    """Spark: the derived ways table (id, node_ids, tags)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    """Spark: the derived ways table (id, node_ids, tags). The orders file
+    scans as 1-2 partitions (2 row groups), which would serialize the heavy
+    tag/width derivation + downstream explodes onto 1-2 cores —
+    spread_input widens it (no-op at scale, see parallel.py)."""
+    orders = spread_input(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
     nlen = (k % 4 + 3).cast("int")
     node_ids = F.transform(
@@ -194,10 +221,8 @@ def q_f1_is_waterway_relation(spark, sf_dir):
     k = F.col("s_suppkey")
     typ = F.when(k % 4 == 0, F.lit("waterway")).when(k % 4 == 1, F.lit("multipolygon"))
     ww = F.when(k % 6 == 0, F.lit("river")).when(k % 6 == 1, F.lit("riverbank"))
-    m = F.map_filter(
-        F.create_map(F.lit("type"), typ, F.lit("waterway"), ww),
-        lambda _, v: v.isNotNull(),
-    )
+    # no map_filter: getItem-only consumers, see _tags_from_key
+    m = F.create_map(F.lit("type"), typ, F.lit("waterway"), ww)
     return sup.select(k.alias("relation_id"), TG.is_waterway(m, True).alias("is_ww"))
 
 
@@ -323,11 +348,25 @@ SQL_P8 = "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS lastchange FROM 
 
 
 def q_j1_locate(spark, sf_dir):
-    """J1 — explode+equi-join node location resolution."""
+    """J1 — explode+equi-join node location resolution.
+
+    The member refs are generated with posexplode(sequence) + plain
+    arithmetic instead of exploding _ways_geo's transform(sequence) array:
+    F.transform is a higher-order lambda that drops the whole projection
+    out of codegen into interpreted eval (guide §4.1), measured 2.2 s ->
+    1.1 s at sf1.0 for the row-identical plan (verified exceptAll both
+    ways = 0)."""
     nc = _ncust(spark, sf_dir)
-    ways = _ways_geo(spark, sf_dir, nc)
+    orders = spread_input(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
     nodes = _nodes_geo(spark, sf_dir)
-    ex = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "node_id"))
+    ex = orders.select(
+        k.alias("way_id"),
+        F.posexplode(F.sequence(F.lit(0), (k % 4 + 3).cast("int") - 1)).alias("pos", "i"),
+    ).select(
+        "way_id", "pos",
+        ((F.col("way_id") * 13 + F.col("i") * 7) % nc).alias("node_id"),
+    )
     return ex.join(nodes, "node_id", "inner").select("way_id", "pos", "node_id", "lon", "lat")
 
 
@@ -343,7 +382,12 @@ WHERE i < o_orderkey % 4 + 3
 
 
 def _remembered_geo(spark, sf_dir, nc):
-    """The connectivity input derived from orders (way endpoints)."""
+    """The connectivity input derived from orders (way endpoints).
+    Deliberately NOT spread_input-widened: the derivation is cheap
+    arithmetic and the downstream groupBy's partial aggregation emits one
+    partial row per (map partition, node id) — widening the map side from
+    2 to 32 partitions multiplied the partial-agg exchange ~16x and
+    measured 1.2 s -> 1.7 s at sf1.0."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     return orders.select(
@@ -690,14 +734,7 @@ def q_map_layers(spark, sf_dir):
         F.col("wd.width").cast("double").alias("width"),
         F.when(F.col("wd.width_error"), "true").otherwise("false").alias("width_error"),
     )
-    base = base.cache()
-    outs = None
-    for layer, cond in MAP_LAYERS:
-        cnt = base.filter(F.expr(cond)).agg(
-            F.lit(layer).alias("layer"), F.count("*").alias("n")
-        )
-        outs = cnt if outs is None else outs.unionByName(cnt)
-    return outs
+    return _layer_counts(base, MAP_LAYERS)
 
 
 def _sql_map_layers() -> str:
@@ -1144,7 +1181,8 @@ def q_j2_members(spark, sf_dir):
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     s = F.col("s_suppkey")
     typ = F.when(s % 4 == 0, F.lit("waterway")).when(s % 4 == 1, F.lit("multipolygon"))
-    tags = F.map_filter(F.create_map(F.lit("type"), typ), lambda _, v: v.isNotNull())
+    # no map_filter: getItem-only consumers, see _tags_from_key
+    tags = F.create_map(F.lit("type"), typ)
     members = F.transform(
         F.sequence(F.lit(0), (s % 3 + 1).cast("int")),
         lambda j: F.struct(
@@ -1231,14 +1269,7 @@ NODE_LAYERS = [
 def q_map_layers_nodes(spark, sf_dir):
     """§2.9 node layers (map/water.map:1128-1384) over the finalized
     error-mask output columns (derived masks, same as e2_finalize)."""
-    base = q_e2_finalize(spark, sf_dir).cache()
-    outs = None
-    for layer, cond in NODE_LAYERS:
-        cnt = base.filter(F.expr(cond)).agg(
-            F.lit(layer).alias("layer"), F.count("*").alias("n")
-        )
-        outs = cnt if outs is None else outs.unionByName(cnt)
-    return outs
+    return _layer_counts(q_e2_finalize(spark, sf_dir), NODE_LAYERS)
 
 
 def _sql_map_layers_nodes() -> str:
@@ -1269,14 +1300,8 @@ def q_map_layers_polygons(spark, sf_dir):
     t = F.col("tags")
     base = df.filter(TG.is_water_area(t)).select(
         TG.get_polygon_type(t).alias("polygon_type")
-    ).cache()
-    outs = None
-    for layer, cond in POLYGON_LAYERS:
-        cnt = base.filter(F.expr(cond)).agg(
-            F.lit(layer).alias("layer"), F.count("*").alias("n")
-        )
-        outs = cnt if outs is None else outs.unionByName(cnt)
-    return outs
+    )
+    return _layer_counts(base, POLYGON_LAYERS)
 
 
 def _sql_map_layers_polygons() -> str:
@@ -1326,23 +1351,14 @@ def q_map_layers_relations(spark, sf_dir):
     k = F.col("s_suppkey")
     typ = F.when(k % 4 == 0, F.lit("waterway")).when(k % 4 == 1, F.lit("multipolygon"))
     ww = F.when(k % 9 < 8, F.element_at(F.array(*[F.lit(v) for v in WW_VALUES]), (k % 9 + 1).cast("int")))
-    tags = F.map_filter(
-        F.create_map(F.lit("type"), typ, F.lit("waterway"), ww),
-        lambda _, v: v.isNotNull(),
-    )
+    # no map_filter: getItem-only consumers, see _tags_from_key
+    tags = F.create_map(F.lit("type"), typ, F.lit("waterway"), ww)
     rels = sup.select(k.alias("id"), tags.alias("tags"))
     base = (
         rels.filter(TG.is_waterway(F.col("tags"), True))
         .select(TG.get_way_type(F.col("tags")).alias("type"))
-        .cache()
     )
-    outs = None
-    for layer, cond in RELATION_LAYERS:
-        cnt = base.filter(F.expr(cond)).agg(
-            F.lit(layer).alias("layer"), F.count("*").alias("n")
-        )
-        outs = cnt if outs is None else outs.unionByName(cnt)
-    return outs
+    return _layer_counts(base, RELATION_LAYERS)
 
 
 def _sql_map_layers_relations() -> str:
