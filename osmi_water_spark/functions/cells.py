@@ -56,6 +56,41 @@ def cell_iy(cell: Column) -> Column:
     return (F.shiftright(cell, IY_SHIFT) % (1 << IY_SHIFT)).cast("long")
 
 
+# ---- SQL-text twins ----
+#
+# Each deeply nested Column builder below costs dozens-to-hundreds of py4j
+# round-trips PER CALL at DAG-construction time (~0.3 ms each; profiling
+# showed ~2.7 s of the pipeline's per-run wall was pure driver-side py4j
+# chatter while 32 cores idle — guide §7.3's "planning time is real time").
+# When the caller can name its inputs (plain column references), we build
+# the IDENTICAL expression as one SQL string and parse it with a single
+# F.expr round-trip. Literal forms are chosen so the parsed tree matches
+# the Column tree exactly: `180.0D` (double, NOT the default decimal),
+# `0L` for long literals, same operator order. Parity is pinned by
+# tests/test_wkb_cells.py::test_sql_text_twins_match_column_builders.
+
+
+def _ix_sql(lon: str, res: int) -> str:
+    n = repr(float(1 << res))
+    return (f"greatest(0L, least({(1 << res) - 1}L, "
+            f"floor(({lon} + 180.0D) / 360.0D * {n}D)))")
+
+
+def _iy_sql(lat: str, res: int) -> str:
+    n = repr(float(1 << res))
+    return (f"greatest(0L, least({(1 << res) - 1}L, "
+            f"floor(({lat} + 90.0D) / 180.0D * {n}D)))")
+
+
+def _encode_sql(res: str, ix: str, iy: str) -> str:
+    return (f"(shiftleft(cast({res} as long), {RES_BITS_SHIFT}) + "
+            f"shiftleft(cast({iy} as long), {IY_SHIFT}) + cast({ix} as long))")
+
+
+def _cell_of_sql(lon: str, lat: str, res: int) -> str:
+    return _encode_sql(str(res), _ix_sql(lon, res), _iy_sql(lat, res))
+
+
 def _ix_of(lon: Column, res: int) -> Column:
     n = F.lit(float(1 << res))
     raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
@@ -68,24 +103,42 @@ def _iy_of(lat: Column, res: int) -> Column:
     return _clamp(raw, F.lit(0), F.lit((1 << res) - 1))
 
 
-def cell_of(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
-    """Point -> grid cell id at a fixed resolution."""
+def cell_of(lon: Column | str, lat: Column | str, res: int = DEFAULT_RES) -> Column:
+    """Point -> grid cell id at a fixed resolution. String args take the
+    one-round-trip SQL-text path (see the SQL-text twins note)."""
+    if isinstance(lon, str) and isinstance(lat, str):
+        return F.expr(_cell_of_sql(lon, lat, res))
     return _encode(F.lit(res), _ix_of(lon, res), _iy_of(lat, res))
 
 
-def cell_of_multi(lon: Column, lat: Column, resolutions: list[int]) -> Column:
+def cell_of_multi(lon: Column | str, lat: Column | str, resolutions: list[int]) -> Column:
     """Point -> array of cell ids, one per resolution (for joining against a
     multi-resolution polygon cover — bounded fan-out: len(resolutions) rows)."""
+    if isinstance(lon, str) and isinstance(lat, str):
+        return F.expr(
+            "array(" + ", ".join(_cell_of_sql(lon, lat, r) for r in resolutions) + ")"
+        )
     return F.array(*[cell_of(lon, lat, r) for r in resolutions])
 
 
+def _bbox_cover_cells_sql(minx: str, miny: str, maxx: str, maxy: str, res: int) -> str:
+    ix0, ix1 = _ix_sql(minx, res), _ix_sql(maxx, res)
+    iy0, iy1 = _iy_sql(miny, res), _iy_sql(maxy, res)
+    enc = _encode_sql(str(res), "ix", "iy")
+    return (f"flatten(transform(sequence({iy0}, {iy1}), "
+            f"iy -> transform(sequence({ix0}, {ix1}), ix -> {enc})))")
+
+
 def bbox_cover_cells(
-    minx: Column, miny: Column, maxx: Column, maxy: Column, res: int
+    minx: Column | str, miny: Column | str, maxx: Column | str, maxy: Column | str, res: int
 ) -> Column:
     """All cells at ``res`` intersecting the bbox (envelope cover).
 
     Built from sequence+transform+flatten so it stays inside codegen.
+    String args take the one-round-trip SQL-text path.
     """
+    if all(isinstance(c, str) for c in (minx, miny, maxx, maxy)):
+        return F.expr(_bbox_cover_cells_sql(minx, miny, maxx, maxy, res))
     ix0, ix1 = _ix_of(minx, res), _ix_of(maxx, res)
     iy0, iy1 = _iy_of(miny, res), _iy_of(maxy, res)
     res_l = F.lit(res)
@@ -103,6 +156,32 @@ def bbox_cover_count(minx: Column, miny: Column, maxx: Column, maxy: Column, res
     return (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
 
 
+def _bbox_cover_count_sql(minx: str, miny: str, maxx: str, maxy: str, res: int) -> str:
+    return (f"(({_ix_sql(maxx, res)} - {_ix_sql(minx, res)} + 1L) * "
+            f"({_iy_sql(maxy, res)} - {_iy_sql(miny, res)} + 1L))")
+
+
+def _adaptive_cover_res_sql(minx: str, miny: str, maxx: str, maxy: str,
+                            res_min: int, res_max: int, max_cells: int) -> str:
+    # mirror of adaptive_cover_res: CASE chain finest-first would invert
+    # the when-nesting; replicate the exact otherwise-nesting instead
+    expr = str(res_min)
+    for r in range(res_min + 1, res_max + 1):
+        expr = (f"(CASE WHEN {_bbox_cover_count_sql(minx, miny, maxx, maxy, r)}"
+                f" <= {max_cells}L THEN {r} ELSE {expr} END)")
+    return expr
+
+
+def _adaptive_cover_cells_sql(minx: str, miny: str, maxx: str, maxy: str,
+                              res_min: int, res_max: int, max_cells: int) -> str:
+    res = _adaptive_cover_res_sql(minx, miny, maxx, maxy, res_min, res_max, max_cells)
+    out = _bbox_cover_cells_sql(minx, miny, maxx, maxy, res_min)
+    for r in range(res_min + 1, res_max + 1):
+        out = (f"(CASE WHEN {res} = {r} THEN "
+               f"{_bbox_cover_cells_sql(minx, miny, maxx, maxy, r)} ELSE {out} END)")
+    return out
+
+
 def adaptive_cover_res(
     minx: Column,
     miny: Column,
@@ -114,7 +193,12 @@ def adaptive_cover_res(
 ) -> Column:
     """Finest resolution in [res_min, res_max] whose bbox cover stays within
     ``max_cells`` — bounds the explode fan-out per polygon regardless of
-    polygon size (big lakes coarsen instead of exploding)."""
+    polygon size (big lakes coarsen instead of exploding). String args take
+    the one-round-trip SQL-text path."""
+    if all(isinstance(c, str) for c in (minx, miny, maxx, maxy)):
+        return F.expr(
+            _adaptive_cover_res_sql(minx, miny, maxx, maxy, res_min, res_max, max_cells)
+        )
     expr = F.lit(res_min)
     for r in range(res_min + 1, res_max + 1):
         expr = F.when(bbox_cover_count(minx, miny, maxx, maxy, r) <= max_cells, F.lit(r)).otherwise(
@@ -132,7 +216,12 @@ def adaptive_cover_cells(
     res_max: int = DEFAULT_RES,
     max_cells: int = MAX_COVER_CELLS,
 ) -> Column:
-    """Bbox cover at the adaptive resolution (array<long>)."""
+    """Bbox cover at the adaptive resolution (array<long>). String args take
+    the one-round-trip SQL-text path."""
+    if all(isinstance(c, str) for c in (minx, miny, maxx, maxy)):
+        return F.expr(
+            _adaptive_cover_cells_sql(minx, miny, maxx, maxy, res_min, res_max, max_cells)
+        )
     res = adaptive_cover_res(minx, miny, maxx, maxy, res_min, res_max, max_cells)
     out = bbox_cover_cells(minx, miny, maxx, maxy, res_min)
     for r in range(res_min + 1, res_max + 1):
@@ -152,6 +241,59 @@ def np_cell_of(lon, lat, res: int):
     ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, hi).astype(np.int64)
     iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, hi).astype(np.int64)
     return (np.int64(res) << RES_BITS_SHIFT) + (iy << IY_SHIFT) + ix
+
+
+def np_cover(minx, miny, maxx, maxy, res_min: int = 3, res_max: int = DEFAULT_RES,
+             max_cells: int = MAX_COVER_CELLS):
+    """Numpy twin of adaptive_cover_res + adaptive_cover_cells over ARRAYS
+    of bboxes: returns (res_per_box int64, flat cell ids int64, owner box
+    index int64). Identical IEEE op order to the JVM expressions
+    ((x+180.0)/360.0*n, floor, clamp; finest res in [res_min, res_max]
+    whose cover count stays <= max_cells, else res_min) and identical cell
+    order (iy outer, ix inner) so a driver-side cover is byte-equal to the
+    Spark-computed one. Used by the probe-mode PIP join to derive the
+    whole cover from the ALREADY-COLLECTED parts instead of running a
+    second Spark job over the polygon side (guide §8: decide with small
+    rows)."""
+    import numpy as np
+
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+
+    def _ix(x, r):
+        n = float(1 << r)
+        return np.clip(np.floor((x + 180.0) / 360.0 * n), 0, (1 << r) - 1).astype(np.int64)
+
+    def _iy(y, r):
+        n = float(1 << r)
+        return np.clip(np.floor((y + 90.0) / 180.0 * n), 0, (1 << r) - 1).astype(np.int64)
+
+    res = np.full(minx.shape, res_min, dtype=np.int64)
+    for r in range(res_min + 1, res_max + 1):
+        cnt = (_ix(maxx, r) - _ix(minx, r) + 1) * (_iy(maxy, r) - _iy(miny, r) + 1)
+        res = np.where(cnt <= max_cells, r, res)
+
+    ix0 = np.empty_like(res)
+    ix1 = np.empty_like(res)
+    iy0 = np.empty_like(res)
+    iy1 = np.empty_like(res)
+    for r in np.unique(res):
+        m = res == r
+        ix0[m], ix1[m] = _ix(minx[m], int(r)), _ix(maxx[m], int(r))
+        iy0[m], iy1[m] = _iy(miny[m], int(r)), _iy(maxy[m], int(r))
+    w = ix1 - ix0 + 1
+    counts = w * (iy1 - iy0 + 1)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    total = int(offs[-1])
+    owner = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    t = np.arange(total, dtype=np.int64) - offs[owner]
+    iy = iy0[owner] + t // w[owner]
+    ix = ix0[owner] + t % w[owner]
+    cells = (res[owner] << RES_BITS_SHIFT) + (iy << IY_SHIFT) + ix
+    return res, cells, owner
 
 
 def k_ring(cell: Column, k: int = 1) -> Column:
@@ -189,7 +331,26 @@ def tile_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
     return _clamp(tx, F.lit(0), lim), _clamp(ty, F.lit(0), lim)
 
 
-def tile_id(lon: Column, lat: Column, z: int) -> Column:
+def _tile_xy_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
+    n = repr(float(1 << z))
+    pi = repr(math.pi)
+    lim = (1 << z) - 1
+    tx = f"floor(({lon} + 180.0D) / 360.0D * {n}D)"
+    lat_rad = f"({lat} * {pi}D / 180.0D)"
+    ty = (f"floor((1.0D - ln(tan({lat_rad}) + 1.0D / cos({lat_rad})) / {pi}D)"
+          f" / 2.0D * {n}D)")
+    return (f"greatest(0L, least({lim}L, {tx}))",
+            f"greatest(0L, least({lim}L, {ty}))")
+
+
+def _tile_id_sql(lon: str, lat: str, z: int) -> str:
+    tx, ty = _tile_xy_sql(lon, lat, z)
+    return _encode_sql(str(z), tx, ty)
+
+
+def tile_id(lon: Column | str, lat: Column | str, z: int) -> Column:
+    if isinstance(lon, str) and isinstance(lat, str):
+        return F.expr(_tile_id_sql(lon, lat, z))
     tx, ty = tile_xy(lon, lat, z)
     return _encode(F.lit(z), tx, ty.cast("long"))
 

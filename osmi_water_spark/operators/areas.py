@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -30,6 +31,10 @@ _AREA_SCHEMA = T.StructType(
     [
         T.StructField("area_key", T.StringType(), False),
         T.StructField("geom_wkb", T.BinaryType(), True),
+        T.StructField("minx", T.DoubleType(), True),
+        T.StructField("miny", T.DoubleType(), True),
+        T.StructField("maxx", T.DoubleType(), True),
+        T.StructField("maxy", T.DoubleType(), True),
     ]
 )
 
@@ -120,7 +125,13 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         # osmium treats empty role as outer
         (inner if role == "inner" else outer).append(seg)
     wkb = assemble_multipolygon(outer, inner)
-    return pd.DataFrame({"area_key": [key], "geom_wkb": [wkb]})
+    # bbox computed here, once at assembly, so downstream cell covers are
+    # plain JVM expressions instead of a per-row WKB re-parse in Python
+    bbox = W.wkb_bbox(wkb) if wkb is not None else (None, None, None, None)
+    return pd.DataFrame(
+        {"area_key": [key], "geom_wkb": [wkb], "minx": [bbox[0]],
+         "miny": [bbox[1]], "maxx": [bbox[2]], "maxy": [bbox[3]]}
+    )
 
 
 def build_areas(
@@ -146,7 +157,16 @@ def build_areas(
         "ts",
         "coords",
     )
-    way_areas_g = way_areas.withColumn("geom_wkb", _closed_way_polygon("coords")).drop("coords")
+    way_areas_g = (
+        way_areas.withColumn("g", _closed_way_polygon("coords"))
+        .drop("coords")
+        .select(
+            "area_key", "way_id", "relation_id", "tags", "ts",
+            F.col("g.wkb").alias("geom_wkb"),
+            F.col("g.minx").alias("minx"), F.col("g.miny").alias("miny"),
+            F.col("g.maxx").alias("maxx"), F.col("g.maxy").alias("maxy"),
+        )
+    )
 
     # --- multipolygon relations ---
     mp_rels = relations.filter(
@@ -174,34 +194,48 @@ def build_areas(
         "ts",
     ).join(rel_geoms, "area_key", "inner")
 
-    both = way_areas_g.select(
-        "area_key", "way_id", "relation_id", "tags", "ts", "geom_wkb"
-    ).unionByName(rel_areas.select("area_key", "way_id", "relation_id", "tags", "ts", "geom_wkb"))
+    cols = ["area_key", "way_id", "relation_id", "tags", "ts", "geom_wkb",
+            "minx", "miny", "maxx", "maxy"]
+    both = way_areas_g.select(*cols).unionByName(rel_areas.select(*cols))
     return both.filter(F.col("geom_wkb").isNotNull())
 
 
 from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 
-@pandas_udf(T.BinaryType())
-def _closed_way_polygon(coords: pd.Series) -> pd.Series:
-    def build(pts):
-        if pts is None or len(pts) < 4:
-            return None
-        a = np.array([[p["lon"], p["lat"]] for p in pts], dtype=np.float64)
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]).any(axis=1)
-        a = a[keep]
-        if len(a) < 4 or not (a[0] == a[-1]).all():
-            return None
-        return W.wkb_multipolygon([[a]])
+_CW_SCHEMA = T.StructType(
+    [
+        T.StructField("wkb", T.BinaryType(), True),
+        T.StructField("minx", T.DoubleType(), True),
+        T.StructField("miny", T.DoubleType(), True),
+        T.StructField("maxx", T.DoubleType(), True),
+        T.StructField("maxy", T.DoubleType(), True),
+    ]
+)
 
-    return coords.map(build)
+
+@F.arrow_udf(_CW_SCHEMA)
+def _closed_way_polygon(coords: pa.Array) -> pa.Array:
+    """Closed way -> single-ring MultiPolygon WKB + bbox. The bbox rides
+    along so downstream cell covers (polygon_table) run as JVM expressions
+    instead of re-parsing the WKB per row in Python; min/max over the
+    deduped ring equals min/max over the raw coords. Arrow-native flat
+    scatter build (functions/wkb_vec.py, see make_linestring) —
+    byte-identical, parity-pinned by tests/test_wkb_cells.py."""
+    from osmi_water_spark.functions import wkb_vec
+
+    return wkb_vec.closed_way_polygon_struct(coords)
 
 
 def polygon_table(areas: DataFrame, cell_res: int) -> DataFrame:
-    """O1 — datastorage.hpp:242-273: the polygons output table (F7 gate)."""
-    from osmi_water_spark.operators.assemble import _wkb_cover_cells
+    """O1 — datastorage.hpp:242-273: the polygons output table (F7 gate).
+
+    h3_cells from the bbox columns carried out of geometry assembly — a
+    whole-stage-codegen expression (functions/cells.bbox_cover_cells),
+    replacing the previous per-row Python WKB re-parse. The int() vs
+    floor() clamp difference is vacuous for coordinates >= -180/-90 and
+    the cell iteration order (iy outer, ix inner) is identical."""
+    from osmi_water_spark.functions import cells as C
 
     gated = areas.filter(TG.is_water_area(F.col("tags")))
     return gated.select(
@@ -212,7 +246,7 @@ def polygon_table(areas: DataFrame, cell_res: int) -> DataFrame:
         TG.format_lastchange(F.col("ts")).alias("lastchange"),
         F.lit(None).cast("string").alias("error"),  # declared, never set
         "geom_wkb",
-        _wkb_cover_cells(F.col("geom_wkb"), F.lit(cell_res)).alias("h3_cells"),
+        C.bbox_cover_cells("minx", "miny", "maxx", "maxy", cell_res).alias("h3_cells"),
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,31 +50,21 @@ _LS_SCHEMA = T.StructType(
 )
 
 
-@pandas_udf(_LS_SCHEMA)
-def make_linestring(coords: pd.Series) -> pd.DataFrame:
+@F.arrow_udf(_LS_SCHEMA)
+def make_linestring(coords: pa.Array) -> pa.Array:
     """G2 — located coords -> LineString WKB + bbox. Consecutive duplicate
     coordinates deduped (use_nodes::unique); <2 remaining points -> ok=false
-    (the reference's geometry_error path)."""
-    n = len(coords)
-    out = {"wkb": [None] * n, "ok": [False] * n,
-           "minx": [None] * n, "miny": [None] * n, "maxx": [None] * n, "maxy": [None] * n}
-    for i, pts in enumerate(coords):
-        if pts is None or len(pts) == 0:
-            continue
-        a = np.array([[p["lon"], p["lat"]] for p in pts], dtype=np.float64)
-        if len(a) > 1:
-            keep = np.ones(len(a), dtype=bool)
-            keep[1:] = (a[1:] != a[:-1]).any(axis=1)
-            a = a[keep]
-        if len(a) < 2:
-            continue
-        out["wkb"][i] = W.wkb_linestring(a)
-        out["ok"][i] = True
-        out["minx"][i] = float(a[:, 0].min())
-        out["miny"][i] = float(a[:, 1].min())
-        out["maxx"][i] = float(a[:, 0].max())
-        out["maxy"][i] = float(a[:, 1].max())
-    return pd.DataFrame(out)
+    (the reference's geometry_error path).
+
+    Arrow-native (r6): the list<struct> column arrives as flat lon/lat
+    buffers + offsets and the WKB bytes are assembled by vectorized
+    scatter into one flat binary buffer (functions/wkb_vec.py) — the
+    previous pandas UDF built a Python dict per COORDINATE and a numpy
+    array + struct.pack per way. Byte-identical output (parity-pinned by
+    tests/test_wkb_cells.py)."""
+    from osmi_water_spark.functions import wkb_vec
+
+    return wkb_vec.linestring_struct(coords)
 
 
 @pandas_udf(T.BinaryType())
@@ -168,9 +159,7 @@ def assemble_ways(way_rows: DataFrame, cell_res: int = C.DEFAULT_RES) -> dict[st
         F.when(F.col("wd.width_error"), "true").otherwise("false").alias("width_error"),
         F.lit(None).cast("string").alias("tagging_error"),
         F.col("ls.wkb").alias("geom_wkb"),
-        C.bbox_cover_cells(
-            F.col("ls.minx"), F.col("ls.miny"), F.col("ls.maxx"), F.col("ls.maxy"), cell_res
-        ).alias("h3_cells"),
+        C.bbox_cover_cells("ls.minx", "ls.miny", "ls.maxx", "ls.maxy", cell_res).alias("h3_cells"),
     )
 
     # remember_way (datastorage.hpp:203-210): raw first/last refs, '' name,
@@ -192,6 +181,8 @@ def assemble_ways(way_rows: DataFrame, cell_res: int = C.DEFAULT_RES) -> dict[st
     geoms = g.filter(F.col("ls.ok")).select(
         "relation_id", F.col("id").alias("way_id"), "member_pos",
         F.col("ls.wkb").alias("wkb"),
+        F.col("ls.minx").alias("minx"), F.col("ls.miny").alias("miny"),
+        F.col("ls.maxx").alias("maxx"), F.col("ls.maxy").alias("maxy"),
         TG.has_waterway_tag(F.col("tags")).alias("has_ww"),
     )
     return {"ways": ways_out, "remembered": remembered, "way_errors": way_errors, "geoms": geoms}
@@ -213,6 +204,11 @@ def assemble_relations(
                 lambda s: s["wkb"],
             ).alias("wkbs"),
             F.max(F.when(F.col("has_ww"), 1).otherwise(0)).alias("any_ww"),
+            # MultiLineString bbox = min/max over member linestring bboxes
+            # (identical doubles — min/max is associative): feeds the JVM
+            # cell cover below instead of a per-row Python WKB re-parse
+            F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
         )
     )
     rels = accepted_relations(relations).select(
@@ -227,31 +223,12 @@ def assemble_relations(
         F.when(F.col("any_ww") == 1, "true").otherwise("false").alias("nowaterway_error"),
         F.lit(None).cast("string").alias("tagging_error"),
         merge_multilinestring("wkbs").alias("geom_wkb"),
+        C.bbox_cover_cells("minx", "miny", "maxx", "maxy", cell_res).alias("h3_cells"),
     )
-    return out.withColumn("h3_cells", _wkb_cover_cells(F.col("geom_wkb"), F.lit(cell_res)))
+    return out
 
 
-_COVER_SCHEMA = T.ArrayType(T.LongType())
-
-
-@pandas_udf(_COVER_SCHEMA)
-def _wkb_cover_cells(wkb: pd.Series, res: pd.Series) -> pd.Series:
-    """bbox cover cells of an arbitrary WKB geometry (output decoration)."""
-    r = int(res.iloc[0]) if len(res) else C.DEFAULT_RES
-    nx = 1 << r
-
-    def cover(b):
-        if b is None:
-            return None
-        minx, miny, maxx, maxy = W.wkb_bbox(bytes(b))
-        ix0 = min(max(int((minx + 180.0) / 360.0 * nx), 0), nx - 1)
-        ix1 = min(max(int((maxx + 180.0) / 360.0 * nx), 0), nx - 1)
-        iy0 = min(max(int((miny + 90.0) / 180.0 * nx), 0), nx - 1)
-        iy1 = min(max(int((maxy + 90.0) / 180.0 * nx), 0), nx - 1)
-        return [
-            (r << C.RES_BITS_SHIFT) | (iy << C.IY_SHIFT) | ix
-            for iy in range(iy0, iy1 + 1)
-            for ix in range(ix0, ix1 + 1)
-        ]
-
-    return wkb.map(cover)
+# (the per-row Python _wkb_cover_cells decoration was replaced in round 6
+# by bbox columns carried out of geometry assembly + the JVM
+# functions/cells.bbox_cover_cells expression — same clamp semantics for
+# coordinates >= -180/-90 and the same iy-outer/ix-inner cell order)

@@ -62,7 +62,7 @@ def _cells_pass(points: DataFrame, neighbors: DataFrame, k: int, res: int, ring:
         "neighbor_id",
         F.col("lon").alias("n_lon"),
         F.col("lat").alias("n_lat"),
-        C.cell_of(F.col("lon"), F.col("lat"), res).alias("cell"),
+        C.cell_of("lon", "lat", res).alias("cell"),
     )
     cand = pts.join(nbr, "cell", "inner").dropDuplicates(["point_id", "neighbor_id"])
     return _ranked(cand, k)

@@ -39,7 +39,7 @@ def tile_cover(minx: Column, miny: Column, maxx: Column, maxy: Column, z: int) -
 
 def assign_node_tiles(nodes_out: DataFrame, z: int) -> DataFrame:
     """nodes output -> + tile_id column (vector->raster assignment)."""
-    return nodes_out.withColumn("tile_id", C.tile_id(F.col("lon"), F.col("lat"), z))
+    return nodes_out.withColumn("tile_id", C.tile_id("lon", "lat", z))
 
 
 def tile_validation(nodes_out: DataFrame, z: int) -> DataFrame:
@@ -68,13 +68,18 @@ def tile_validation(nodes_out: DataFrame, z: int) -> DataFrame:
 
 def feature_tile_assignment(df: DataFrame, kind: str, id_col: str, z: int, cell_res: int) -> DataFrame:
     """Geometry tables -> (kind, feature_id, tile_id) via the h3_cells
-    decoration: raster<->vector mapping is cell-bbox -> tile cover."""
+    decoration: raster<->vector mapping is cell-bbox -> tile cover.
+
+    The cell-centre -> tile chain is one SQL-text expression (single
+    F.expr parse) instead of ~200 py4j round-trips of nested Column
+    building — identical tree, see cells.py "SQL-text twins"."""
     cell = F.explode("h3_cells").alias("cell")
     c = df.select(F.col(id_col).alias("feature_id"), cell)
     # cell centre -> tile (cells are finer than or comparable to tiles here)
-    n = F.pow(F.lit(2.0), C.cell_res(F.col("cell")).cast("double"))
-    lon = (C.cell_ix(F.col("cell")) + 0.5) / n * 360.0 - 180.0
-    lat = (C.cell_iy(F.col("cell")) + 0.5) / n * 180.0 - 90.0
+    n = f"pow(2.0D, cast(cast(shiftright(cell, {C.RES_BITS_SHIFT}) as int) as double))"
+    lon = f"((cast(cell % {1 << C.IY_SHIFT} as long) + 0.5D) / {n} * 360.0D - 180.0D)"
+    lat = (f"((cast(shiftright(cell, {C.IY_SHIFT}) % {1 << C.IY_SHIFT} as long) + 0.5D)"
+           f" / {n} * 180.0D - 90.0D)")
     return c.select(
         F.lit(kind).alias("table"),
         "feature_id",

@@ -21,6 +21,7 @@ import os
 import time
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,15 +38,15 @@ from osmi_water_spark.operators.extract import extract_entities, split_entities
 from osmi_water_spark.operators.locate import locate_ways, node_locations
 
 
-@pandas_udf(T.BinaryType())
-def _point_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    import struct
+@F.arrow_udf(T.BinaryType())
+def _point_wkb(lon: pa.Array, lat: pa.Array) -> pa.Array:
+    """P12/G1: 21-byte point WKB, built by vectorized scatter into one
+    flat binary buffer (functions/wkb_vec.py) instead of per-row
+    struct.pack; null iff lon is null/NaN (the previous scalar checked
+    only x). Byte-identical — parity-pinned by tests/test_wkb_cells.py."""
+    from osmi_water_spark.functions import wkb_vec
 
-    hdr = struct.pack("<BI", 1, 1)
-    return pd.Series(
-        [None if x is None or pd.isna(x) else hdr + struct.pack("<dd", x, y)
-         for x, y in zip(lon, lat)]
-    )
+    return wkb_vec.point_wkb_array(lon, lat)
 
 
 class Lineage:
@@ -292,7 +293,7 @@ def run_pipeline(
         F.col("node_id").cast("string").alias("node_id"),
         *[v.alias(k) for k, v in ecols.items()],
         _point_wkb("lon", "lat").alias("geom_wkb"),
-        C.cell_of(F.col("lon"), F.col("lat"), cell_res).alias("h3_cell"),
+        C.cell_of("lon", "lat", cell_res).alias("h3_cell"),
         "lon",
         "lat",
     )

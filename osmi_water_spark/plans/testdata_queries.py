@@ -676,8 +676,8 @@ def q_tiles(spark, sf_dir):
     pts = _nodes_geo(spark, sf_dir)
     return pts.select(
         "node_id",
-        C.tile_id(F.col("lon"), F.col("lat"), Z_TILE).alias("tile_id"),
-        C.cell_of(F.col("lon"), F.col("lat"), RES_CELL).alias("cell_id"),
+        C.tile_id("lon", "lat", Z_TILE).alias("tile_id"),
+        C.cell_of("lon", "lat", RES_CELL).alias("cell_id"),
     )
 
 

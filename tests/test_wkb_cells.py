@@ -150,3 +150,150 @@ def test_errors_switch_poss(spark):
         E.POSS_RIVERMOUTH + E.STREAM,  # stream possibles never resolve (quirk)
         E.DIRECTION,
     ]
+
+
+def test_sql_text_twins_match_column_builders(spark):
+    """r6: the one-round-trip SQL-text paths (string column args) must
+    produce IDENTICAL values AND types to the Column-builder paths for
+    every cell/tile helper that has one."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.uniform(-185, 175), rng.uniform(-95, 85), rng.uniform(0, 40), rng.uniform(0, 20))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "minx double, miny double, w double, h double").select(
+        "minx", "miny",
+        (F.col("minx") + F.col("w")).alias("maxx"),
+        (F.col("miny") + F.col("h")).alias("maxy"),
+        F.col("minx").alias("lon"), F.col("miny").alias("lat"),
+    )
+    pairs = [
+        (C.cell_of(F.col("lon"), F.col("lat"), 7), C.cell_of("lon", "lat", 7)),
+        (C.cell_of_multi(F.col("lon"), F.col("lat"), [3, 5, 7]),
+         C.cell_of_multi("lon", "lat", [3, 5, 7])),
+        (C.bbox_cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 6),
+         C.bbox_cover_cells("minx", "miny", "maxx", "maxy", 6)),
+        (C.adaptive_cover_res(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 3, 7, 64),
+         C.adaptive_cover_res("minx", "miny", "maxx", "maxy", 3, 7, 64)),
+        (C.adaptive_cover_cells(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), 3, 7, 64),
+         C.adaptive_cover_cells("minx", "miny", "maxx", "maxy", 3, 7, 64)),
+        (C.tile_id(F.col("lon"), F.col("lat"), 8), C.tile_id("lon", "lat", 8)),
+    ]
+    sel = df.select(
+        *[c.alias(f"col_{i}") for i, (c, _) in enumerate(pairs)],
+        *[s.alias(f"sql_{i}") for i, (_, s) in enumerate(pairs)],
+    )
+    sch = {f.name: f.dataType for f in sel.schema.fields}
+    for i in range(len(pairs)):
+        assert sch[f"col_{i}"] == sch[f"sql_{i}"], f"type mismatch at {i}"
+    bad = sel.filter(
+        " OR ".join(
+            f"(NOT (col_{i} <=> sql_{i}))" for i in range(len(pairs))
+        )
+    ).count()
+    assert bad == 0
+
+
+def _scalar_linestring(pts):
+    """Scalar spec of make_linestring (the pre-r6 pandas UDF body)."""
+    import numpy as np
+
+    from osmi_water_spark.functions import wkb as W
+
+    if pts is None or len(pts) == 0:
+        return (None, False, None, None, None, None)
+    a = np.array([[p[0], p[1]] for p in pts], dtype=np.float64)
+    if len(a) > 1:
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+        a = a[keep]
+    if len(a) < 2:
+        return (None, False, None, None, None, None)
+    return (W.wkb_linestring(a), True, float(a[:, 0].min()), float(a[:, 1].min()),
+            float(a[:, 0].max()), float(a[:, 1].max()))
+
+
+def _scalar_closed_way(pts):
+    import numpy as np
+
+    from osmi_water_spark.functions import wkb as W
+
+    if pts is None or len(pts) < 4:
+        return (None, None, None, None, None)
+    a = np.array([[p[0], p[1]] for p in pts], dtype=np.float64)
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+    a = a[keep]
+    if len(a) < 4 or not (a[0] == a[-1]).all():
+        return (None, None, None, None, None)
+    return (W.wkb_multipolygon([[a]]), float(a[:, 0].min()), float(a[:, 1].min()),
+            float(a[:, 0].max()), float(a[:, 1].max()))
+
+
+def _coords_cases():
+    import random
+
+    rng = random.Random(3)
+    cases = [None, [], [(1.0, 2.0)], [(1.0, 2.0), (1.0, 2.0)],
+             [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)],
+             [(0.0, 0.0), (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)],
+             [(5.0, 5.0), (6.0, 5.0), (5.0, 5.0), (6.0, 5.0)]]
+    for _ in range(200):
+        m = rng.randint(0, 9)
+        pts = [(round(rng.uniform(-180, 180), 3), round(rng.uniform(-90, 90), 3))
+               for _ in range(m)]
+        if pts and rng.random() < 0.5:
+            pts.append(pts[-1])  # consecutive dup
+        if pts and rng.random() < 0.4:
+            pts.append(pts[0])  # close the ring
+        cases.append(pts)
+    return cases
+
+
+def test_arrow_linestring_matches_scalar_spec(spark):
+    from osmi_water_spark.operators.assemble import make_linestring
+
+    cases = _coords_cases()
+    rows = [( [{"lon": x, "lat": y} for x, y in c] if c is not None else None,)
+            for c in cases]
+    df = spark.createDataFrame(rows, "coords array<struct<lon:double,lat:double>>")
+    got = df.select(make_linestring("coords").alias("g")).select(
+        "g.wkb", "g.ok", "g.minx", "g.miny", "g.maxx", "g.maxy").collect()
+    for c, r in zip(cases, got):
+        wkb, ok, minx, miny, maxx, maxy = _scalar_linestring(c)
+        assert (bytes(r.wkb) if r.wkb is not None else None) == wkb, c
+        assert r.ok == ok and r.minx == minx and r.miny == miny, c
+        assert r.maxx == maxx and r.maxy == maxy, c
+
+
+def test_arrow_closed_way_matches_scalar_spec(spark):
+    from osmi_water_spark.operators.areas import _closed_way_polygon
+
+    cases = _coords_cases()
+    rows = [( [{"lon": x, "lat": y} for x, y in c] if c is not None else None,)
+            for c in cases]
+    df = spark.createDataFrame(rows, "coords array<struct<lon:double,lat:double>>")
+    got = df.select(_closed_way_polygon("coords").alias("g")).select(
+        "g.wkb", "g.minx", "g.miny", "g.maxx", "g.maxy").collect()
+    for c, r in zip(cases, got):
+        wkb, minx, miny, maxx, maxy = _scalar_closed_way(c)
+        assert (bytes(r.wkb) if r.wkb is not None else None) == wkb, c
+        assert r.minx == minx and r.miny == miny and r.maxx == maxx and r.maxy == maxy, c
+
+
+def test_arrow_point_wkb_matches_scalar_spec(spark):
+    import struct
+
+    from osmi_water_spark.plans.pipeline import _point_wkb
+
+    rows = [(1.5, 2.5), (None, 3.0), (float("nan"), 1.0), (-180.0, 90.0), (0.0, float("nan"))]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    got = [r.w for r in df.select(_point_wkb("lon", "lat").alias("w")).collect()]
+    hdr = struct.pack("<BI", 1, 1)
+    import math
+
+    want = [None if x is None or (isinstance(x, float) and math.isnan(x))
+            else hdr + struct.pack("<dd", x, y) for x, y in rows]
+    assert [bytes(g) if g is not None else None for g in got] == want
