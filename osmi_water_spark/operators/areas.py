@@ -145,7 +145,7 @@ def build_areas(
     """
     # --- closed tagged ways (from_way areas) ---
     closed = ways_located.filter(
-        TG.waterpolygon_filter(F.col("tags"))
+        TG.waterpolygon_filter("tags")
         & (F.size("node_ids") >= 4)
         & (F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
     )
@@ -170,7 +170,7 @@ def build_areas(
 
     # --- multipolygon relations ---
     mp_rels = relations.filter(
-        (F.col("tags").getItem("type") == "multipolygon") & TG.waterpolygon_filter(F.col("tags"))
+        (F.col("tags").getItem("type") == "multipolygon") & TG.waterpolygon_filter("tags")
     )
     members = mp_rels.select(
         F.col("id").alias("rel_id"),
@@ -237,13 +237,13 @@ def polygon_table(areas: DataFrame, cell_res: int) -> DataFrame:
     the cell iteration order (iy outer, ix inner) is identical."""
     from osmi_water_spark.functions import cells as C
 
-    gated = areas.filter(TG.is_water_area(F.col("tags")))
+    gated = areas.filter(TG.is_water_area("tags"))
     return gated.select(
         "way_id",
         "relation_id",
-        TG.get_polygon_type(F.col("tags")).alias("type"),
-        TG.name_or_empty(F.col("tags")).alias("name"),
-        TG.format_lastchange(F.col("ts")).alias("lastchange"),
+        TG.get_polygon_type("tags").alias("type"),
+        TG.name_or_empty("tags").alias("name"),
+        TG.format_lastchange("ts").alias("lastchange"),
         F.lit(None).cast("string").alias("error"),  # declared, never set
         "geom_wkb",
         C.bbox_cover_cells("minx", "miny", "maxx", "maxy", cell_res).alias("h3_cells"),
@@ -261,7 +261,7 @@ def pip_index(areas: DataFrame) -> DataFrame:
     import pandas as _pd
 
     gated = areas.filter(
-        TG.is_water_area(F.col("tags")) & TG.is_area_to_analyse(F.col("tags"))
+        TG.is_water_area("tags") & TG.is_area_to_analyse("tags")
     ).select("area_key", "geom_wkb")
 
     def explode_parts(batches):

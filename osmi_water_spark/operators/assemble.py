@@ -81,7 +81,7 @@ def merge_multilinestring(wkbs: pd.Series) -> pd.Series:
 
 def accepted_relations(relations: DataFrame) -> DataFrame:
     """F1 relation gate (new_relation, waterway.hpp:319-322)."""
-    return relations.filter(TG.is_waterway(F.col("tags"), True))
+    return relations.filter(TG.is_waterway("tags", True))
 
 
 def member_way_pairs(relations: DataFrame, ways_located: DataFrame) -> DataFrame:
@@ -113,7 +113,7 @@ def standalone_ways(relations: DataFrame, ways_located: DataFrame) -> DataFrame:
         .distinct()
     )
     return (
-        ways_located.filter(TG.is_waterway(F.col("tags"), False))
+        ways_located.filter(TG.is_waterway("tags", False))
         .join(refs, ways_located["id"] == refs["ref"], "left_anti")
     )
 
@@ -121,8 +121,8 @@ def standalone_ways(relations: DataFrame, ways_located: DataFrame) -> DataFrame:
 def build_way_rows(relations: DataFrame, ways_located: DataFrame) -> DataFrame:
     """All candidate way-feature rows (pre-geometry): member rows once per
     membership + standalone rows with relation_id=0."""
-    members = member_way_pairs(relations, ways_located).select(
-        F.col("member_way_id").alias("id"),
+    members = member_way_pairs(relations, ways_located).selectExpr(
+        "member_way_id AS id",
         "node_ids",
         "tags",
         "ts",
@@ -130,10 +130,10 @@ def build_way_rows(relations: DataFrame, ways_located: DataFrame) -> DataFrame:
         "relation_id",
         "member_pos",
     )
-    singles = standalone_ways(relations, ways_located).select(
+    singles = standalone_ways(relations, ways_located).selectExpr(
         "id", "node_ids", "tags", "ts", "coords",
-        F.lit(0).cast("long").alias("relation_id"),
-        F.lit(0).alias("member_pos"),
+        "CAST(0 AS BIGINT) AS relation_id",
+        "0 AS member_pos",
     )
     return members.unionByName(singles)
 
@@ -142,48 +142,47 @@ def assemble_ways(way_rows: DataFrame, cell_res: int = C.DEFAULT_RES) -> dict[st
     """way rows -> {'ways': O3 table rows, 'remembered': connectivity input,
     'way_errors': E5 node-candidate rows, 'geoms': per-membership geometry}."""
     g = way_rows.withColumn("ls", make_linestring("coords"))
-    g = g.withColumn("way_type", TG.get_way_type(F.col("tags"))).cache()
+    g = g.withColumn("way_type", TG.get_way_type("tags")).cache()
 
     ok = g.filter(F.col("ls.ok"))
-    wd = ok.withColumn("wd", width_struct(TG.get_width_tag(F.col("tags"))))
+    wd = ok.withColumn("wd", width_struct(TG.get_width_tag("tags")))
     ways_out = wd.select(
-        F.col("id").alias("way_id"),
-        F.col("way_type").alias("type"),
-        TG.name_or_empty(F.col("tags")).alias("name"),
-        F.element_at("node_ids", 1).cast("string").alias("firstnode"),
-        F.element_at("node_ids", -1).cast("string").alias("lastnode"),
+        F.expr("id AS way_id"),
+        F.expr("way_type AS type"),
+        TG.name_or_empty("tags").alias("name"),
+        F.expr("CAST(element_at(node_ids, 1) AS STRING) AS firstnode"),
+        F.expr("CAST(element_at(node_ids, -1) AS STRING) AS lastnode"),
         "relation_id",
-        F.lit(None).cast("string").alias("width"),  # parsed, never written (quirk)
-        TG.format_lastchange(F.col("ts")).alias("lastchange"),
-        TG.get_construction(F.col("tags")).alias("construction"),
-        F.when(F.col("wd.width_error"), "true").otherwise("false").alias("width_error"),
-        F.lit(None).cast("string").alias("tagging_error"),
-        F.col("ls.wkb").alias("geom_wkb"),
+        F.expr("CAST(NULL AS STRING) AS width"),  # parsed, never written (quirk)
+        TG.format_lastchange("ts").alias("lastchange"),
+        TG.get_construction("tags").alias("construction"),
+        F.expr("CASE WHEN wd.width_error THEN 'true' ELSE 'false' END AS width_error"),
+        F.expr("CAST(NULL AS STRING) AS tagging_error"),
+        F.expr("ls.wkb AS geom_wkb"),
         C.bbox_cover_cells("ls.minx", "ls.miny", "ls.maxx", "ls.maxy", cell_res).alias("h3_cells"),
     )
 
     # remember_way (datastorage.hpp:203-210): raw first/last refs, '' name,
     # category from the way type — once per emitted way row (duplicates kept)
     remembered = ok.select(
-        F.element_at("node_ids", 1).alias("first_node"),
-        F.element_at("node_ids", -1).alias("last_node"),
-        TG.name_or_empty(F.col("tags")).alias("name"),
-        TG.get_waterway_category(F.col("way_type")).alias("category"),
+        F.expr("element_at(node_ids, 1) AS first_node"),
+        F.expr("element_at(node_ids, -1) AS last_node"),
+        TG.name_or_empty("tags").alias("name"),
+        TG.get_waterway_category("way_type").alias("category"),
     )
 
     # E5: degenerate geometry -> way_error at the raw first node
     way_errors = (
         g.filter(~F.col("ls.ok"))
-        .select(F.element_at("node_ids", 1).alias("node_id"))
-        .filter(F.col("node_id").isNotNull())
+        .select(F.expr("element_at(node_ids, 1) AS node_id"))
+        .filter(F.expr("node_id IS NOT NULL"))
     )
 
-    geoms = g.filter(F.col("ls.ok")).select(
-        "relation_id", F.col("id").alias("way_id"), "member_pos",
-        F.col("ls.wkb").alias("wkb"),
-        F.col("ls.minx").alias("minx"), F.col("ls.miny").alias("miny"),
-        F.col("ls.maxx").alias("maxx"), F.col("ls.maxy").alias("maxy"),
-        TG.has_waterway_tag(F.col("tags")).alias("has_ww"),
+    geoms = g.filter(F.col("ls.ok")).selectExpr(
+        "relation_id", "id AS way_id", "member_pos",
+        "ls.wkb AS wkb",
+        "ls.minx AS minx", "ls.miny AS miny", "ls.maxx AS maxx", "ls.maxy AS maxy",
+        "(tags['waterway'] IS NOT NULL) AS has_ww",
     )
     return {"ways": ways_out, "remembered": remembered, "way_errors": way_errors, "geoms": geoms}
 
@@ -217,9 +216,9 @@ def assemble_relations(
     joined = per_rel.join(rels, "relation_id", "inner")
     out = joined.select(
         "relation_id",
-        TG.get_way_type(F.col("tags")).alias("type"),
-        TG.name_or_empty(F.col("tags")).alias("name"),
-        TG.format_lastchange(F.col("ts")).alias("lastchange"),
+        TG.get_way_type("tags").alias("type"),
+        TG.name_or_empty("tags").alias("name"),
+        TG.format_lastchange("ts").alias("lastchange"),
         F.when(F.col("any_ww") == 1, "true").otherwise("false").alias("nowaterway_error"),
         F.lit(None).cast("string").alias("tagging_error"),
         merge_multilinestring("wkbs").alias("geom_wkb"),

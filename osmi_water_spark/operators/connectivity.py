@@ -27,25 +27,24 @@ from osmi_water_spark.functions import errors as E
 def node_stats(remembered: DataFrame) -> DataFrame:
     """remembered(first_node, last_node, name, category) -> per-node A1
     aggregate: counts, name multiset, max in/out categories."""
+    # selectExpr/F.expr text (see error_mask): identical trees, one parse
+    # per expression instead of per-operator py4j chatter
     entries = remembered.select(
-        "first_node",
-        "last_node",
-        "name",
-        "category",
-        F.explode(F.array("first_node", "last_node")).alias("node_id"),
-    ).select(
+        "first_node", "last_node", "name", "category",
+        F.expr("explode(array(first_node, last_node))").alias("node_id"),
+    ).selectExpr(
         "node_id",
-        (F.col("node_id") == F.col("first_node")).cast("int").alias("cf"),
-        (F.col("node_id") == F.col("last_node")).cast("int").alias("cl"),
+        "CAST(node_id = first_node AS INT) AS cf",
+        "CAST(node_id = last_node AS INT) AS cl",
         "name",
         "category",
     )
     return entries.groupBy("node_id").agg(
-        F.sum("cf").alias("count_first"),
-        F.sum("cl").alias("count_last"),
-        F.flatten(F.collect_list(F.array_repeat("name", F.col("cf") + F.col("cl")))).alias("names"),
-        F.max(F.when(F.col("cl") == 1, F.col("category"))).alias("max_in"),  # A2
-        F.max(F.when(F.col("cf") == 1, F.col("category"))).alias("max_out"),
+        F.expr("sum(cf)").alias("count_first"),
+        F.expr("sum(cl)").alias("count_last"),
+        F.expr("flatten(collect_list(array_repeat(name, cf + cl)))").alias("names"),
+        F.expr("max(CASE WHEN cl = 1 THEN category END)").alias("max_in"),  # A2
+        F.expr("max(CASE WHEN cf = 1 THEN category END)").alias("max_out"),
     )
 
 
@@ -53,24 +52,23 @@ def error_mask(stats: DataFrame) -> DataFrame:
     """A3-A5 + E1 -> integer mask column, preserving the reference's
     overwrite semantics (set_poss_* replaces direction/name bits,
     errorsum.hpp:53-59) and branch order (waterway.hpp:395-397)."""
-    cf, cl = F.col("count_first"), F.col("count_last")
-    # A3 (waterway.hpp:71-77)
-    direction = (F.abs(cf - cl) > 1) & ((cf == 0) | (cl == 0))
-    # A4 (waterway.hpp:82-88): exactly two names with differing values
-    n_names = F.size("names")
-    name_err = (n_names == 2) & (F.size(F.array_distinct("names")) > 1)
-    base = direction.cast("int") * E.DIRECTION + name_err.cast("int") * E.NAME
-    # A5 (waterway.hpp:102-133): if-chain over category vector sizes
-    both = (cl > 0) & (cf > 0)
-    type_err = both & (F.col("max_in") == "C") & (F.col("max_out") < "C") & (F.col("max_out") != "?")
-    one_in = ~both & (cl == 1)
-    one_out = ~both & ~one_in & (cf == 1)
-    mask = (
-        F.when(one_in & (F.col("max_in") == "C"), F.lit(E.POSS_RIVERMOUTH + E.RIVER))
-        .when(one_in & (F.col("max_in") == "B"), F.lit(E.POSS_RIVERMOUTH + E.STREAM))
-        .when(one_out & (F.col("max_out") == "C"), F.lit(E.POSS_OUTFLOW + E.RIVER))
-        .when(one_out & (F.col("max_out") == "B"), F.lit(E.POSS_OUTFLOW + E.STREAM))
-        .otherwise(base + type_err.cast("int") * E.TYPE)
+    # one SQL-text expression (single F.expr parse) instead of ~50 Column
+    # ops' py4j round-trips at DAG-construction time — identical tree and
+    # null semantics (A3: waterway.hpp:71-77, A4: :82-88, A5: :102-133);
+    # values pinned by the j3_connectivity oracle + worlds parity
+    direction = "((abs(count_first - count_last) > 1) AND (count_first = 0 OR count_last = 0))"
+    name_err = "((size(names) = 2) AND (size(array_distinct(names)) > 1))"
+    base = f"(CAST({direction} AS INT) * {E.DIRECTION} + CAST({name_err} AS INT) * {E.NAME})"
+    both = "((count_last > 0) AND (count_first > 0))"
+    type_err = f"({both} AND max_in = 'C' AND max_out < 'C' AND max_out != '?')"
+    one_in = f"((NOT {both}) AND count_last = 1)"
+    one_out = f"((NOT {both}) AND (NOT {one_in}) AND count_first = 1)"
+    mask = F.expr(
+        f"CASE WHEN {one_in} AND max_in = 'C' THEN {E.POSS_RIVERMOUTH + E.RIVER} "
+        f"WHEN {one_in} AND max_in = 'B' THEN {E.POSS_RIVERMOUTH + E.STREAM} "
+        f"WHEN {one_out} AND max_out = 'C' THEN {E.POSS_OUTFLOW + E.RIVER} "
+        f"WHEN {one_out} AND max_out = 'B' THEN {E.POSS_OUTFLOW + E.STREAM} "
+        f"ELSE {base} + CAST({type_err} AS INT) * {E.TYPE} END"
     )
     return stats.select("node_id", mask.alias("mask"))
 

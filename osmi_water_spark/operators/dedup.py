@@ -654,7 +654,12 @@ def embedding_near_dups(
     switches over-cap buckets to a min-id star (connectivity-preserving cap
     on the quadratic pair count — a dup-heavy corpus collapses into few
     buckets, and emitting every intra-cluster edge is pointless)."""
-    b = _spread(emb).select(
+    # NOT _spread-widened (r6 interleaved A/B: 1.1-1.6 s spread vs
+    # 0.8-1.1 s without at sf1.0): the hyperplane matmul is trivial per
+    # vector, so the extra exchange's stage barrier costs more than the
+    # 1-2-core bucket pass it parallelizes — unlike the token-hashing
+    # minhash/simhash signature passes where _spread pays 4x.
+    b = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col)).alias("bucket"),
     ).repartition("bucket")  # shared Exchange: bucket UDF once, all readers reuse

@@ -79,29 +79,25 @@ def extract_entities(pages: DataFrame) -> DataFrame:
         _text_udf(F.col("html")).alias("text"),
         (F.length(payload) > 0).alias("_has_payload"),
         ent.alias("_e"),
-    ).select(
+    ).selectExpr(
         "url",
         "text",
-        F.col("_e.kind").alias("kind"),
-        F.col("_e.id").alias("id"),
-        F.col("_e.lon").alias("lon"),
-        F.col("_e.lat").alias("lat"),
-        F.col("_e.node_ids").alias("node_ids"),
-        F.col("_e.members").alias("members"),
+        "_e.kind AS kind",
+        "_e.id AS id",
+        "_e.lon AS lon",
+        "_e.lat AS lat",
+        "_e.node_ids AS node_ids",
+        "_e.members AS members",
         # entity present but untagged -> EMPTY map (the reference's taglist
         # is always present; None is reserved for payload-less pages)
-        F.when(
-            F.col("_e.kind").isNotNull(),
-            F.coalesce(F.col("_e.tags"), F.expr("cast(map() as map<string,string>)")),
-        ).alias("tags"),
-        F.col("_e.ts").alias("ts"),
+        "CASE WHEN _e.kind IS NOT NULL THEN "
+        "coalesce(_e.tags, cast(map() as map<string,string>)) END AS tags",
+        "_e.ts AS ts",
         # payload present but PERMISSIVE from_json produced no entity ->
         # malformed page, countable/filterable instead of silently null.
         # coalesce: a NULL html makes _has_payload NULL, and three-valued
         # logic would leak NULL into the flag — corrupt is always concrete
-        F.coalesce(
-            F.col("_has_payload") & F.col("_e.kind").isNull(), F.lit(False)
-        ).alias("corrupt"),
+        "coalesce(_has_payload AND _e.kind IS NULL, false) AS corrupt",
     )
 
 

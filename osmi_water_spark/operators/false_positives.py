@@ -35,14 +35,15 @@ from osmi_water_spark.operators.spatial_join import pip_exists
 
 def pass3_hits(ways: DataFrame) -> DataFrame:
     """(node_id, hits) over all analysable ways' checked nodes."""
-    analysable = ways.filter(TG.is_way_to_analyse(F.col("tags")))
+    analysable = ways.filter(TG.is_way_to_analyse("tags"))
     checked = analysable.select(
         F.explode(
-            F.when(TG.is_riverbank_or_coastline(F.col("tags")), F.col("node_ids")).otherwise(
-                F.when(
-                    F.size("node_ids") > 2,
-                    F.slice("node_ids", 2, F.size("node_ids") - 2),
-                ).otherwise(F.array().cast("array<long>"))
+            F.when(TG.is_riverbank_or_coastline("tags"), F.col("node_ids")).otherwise(
+                F.expr(
+                    "CASE WHEN size(node_ids) > 2 "
+                    "THEN slice(node_ids, 2, size(node_ids) - 2) "
+                    "ELSE CAST(array() AS array<bigint>) END"
+                )
             )
         ).alias("node_id")
     )
@@ -53,17 +54,21 @@ def apply_pass3(candidates: DataFrame, ways: DataFrame) -> DataFrame:
     """candidates(node_id, mask) -> + mask3, emitted3 columns."""
     hits = pass3_hits(ways)
     c = candidates.join(hits, "node_id", "left").withColumn(
-        "hits", F.coalesce(F.col("hits"), F.lit(0))
+        "hits", F.expr("coalesce(hits, 0)")
     )
-    is_poss = E.has(F.col("mask"), E.POSS_RIVERMOUTH) | E.has(F.col("mask"), E.POSS_OUTFLOW)
-    emitted3 = ((F.col("hits") >= 1) & ~is_poss) | ((F.col("hits") >= 2) & is_poss)
+    # SQL-text twins (one parse each; identical trees — see errors.py)
+    pr, po = E._has_sql("mask", E.POSS_RIVERMOUTH), E._has_sql("mask", E.POSS_OUTFLOW)
+    is_poss = f"({pr} OR {po})"
+    emitted3 = f"((hits >= 1 AND NOT {is_poss}) OR (hits >= 2 AND {is_poss}))"
     mask3 = (
-        F.when(emitted3, F.lit(0))
-        .when((F.col("hits") == 1) & E.has(F.col("mask"), E.POSS_RIVERMOUTH), F.lit(E.RIVERMOUTH))
-        .when((F.col("hits") == 1) & E.has(F.col("mask"), E.POSS_OUTFLOW), F.lit(E.OUTFLOW))
-        .otherwise(F.col("mask"))
+        f"CASE WHEN {emitted3} THEN 0 "
+        f"WHEN hits = 1 AND {pr} THEN {E.RIVERMOUTH} "
+        f"WHEN hits = 1 AND {po} THEN {E.OUTFLOW} ELSE mask END"
     )
-    return c.select("node_id", "mask", mask3.alias("mask3"), emitted3.alias("emitted3"))
+    return c.select(
+        "node_id", "mask",
+        F.expr(mask3).alias("mask3"), F.expr(emitted3).alias("emitted3"),
+    )
 
 
 def apply_pass4(

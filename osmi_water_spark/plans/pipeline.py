@@ -274,7 +274,7 @@ def run_pipeline(
     emitted3 = after3.filter(F.col("emitted3")).select("node_id", F.lit(0).alias("final_mask"))
     emitted4 = after4.filter(F.col("emitted4")).select("node_id", F.lit(0).alias("final_mask"))
     survivors = after4.filter(~F.col("emitted4")).select(
-        "node_id", E.switch_poss(F.col("mask4")).alias("final_mask")
+        "node_id", E.switch_poss("mask4").alias("final_mask")
     )
     normal_rows = normal.select("node_id", F.col("mask").alias("final_mask"))
     way_error_rows = way_errors.select("node_id", F.lit(E.WAY).alias("final_mask"))
@@ -288,7 +288,7 @@ def run_pipeline(
     # location join: normal emission requires a location (handle_node skips
     # unlocated nodes, waterway.hpp:142-147); fixtures locate everything.
     located = all_nodes.join(locations, "node_id", "inner")
-    ecols = E.node_output_columns(F.col("final_mask"))
+    ecols = E.node_output_columns("final_mask")
     nodes_out = located.select(
         F.col("node_id").cast("string").alias("node_id"),
         *[v.alias(k) for k, v in ecols.items()],
