@@ -200,7 +200,6 @@ def build_areas(
     return both.filter(F.col("geom_wkb").isNotNull())
 
 
-from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 
 _CW_SCHEMA = T.StructType(

@@ -25,7 +25,6 @@ Reference quirks replicated exactly:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame

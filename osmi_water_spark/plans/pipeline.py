@@ -20,12 +20,10 @@ from __future__ import annotations
 import os
 import time
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from osmi_water_spark.functions import cells as C
 from osmi_water_spark.functions import errors as E
