@@ -149,10 +149,10 @@ def build_areas(
         & (F.size("node_ids") >= 4)
         & (F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
     )
-    way_areas = closed.select(
-        F.concat(F.lit("w"), F.col("id")).alias("area_key"),
-        F.col("id").alias("way_id"),
-        F.lit(0).cast("long").alias("relation_id"),
+    way_areas = closed.selectExpr(
+        "concat('w', id) AS area_key",
+        "id AS way_id",
+        "CAST(0 AS BIGINT) AS relation_id",
         "tags",
         "ts",
         "coords",
@@ -160,11 +160,10 @@ def build_areas(
     way_areas_g = (
         way_areas.withColumn("g", _closed_way_polygon("coords"))
         .drop("coords")
-        .select(
+        .selectExpr(
             "area_key", "way_id", "relation_id", "tags", "ts",
-            F.col("g.wkb").alias("geom_wkb"),
-            F.col("g.minx").alias("minx"), F.col("g.miny").alias("miny"),
-            F.col("g.maxx").alias("maxx"), F.col("g.maxy").alias("maxy"),
+            "g.wkb AS geom_wkb",
+            "g.minx AS minx", "g.miny AS miny", "g.maxx AS maxx", "g.maxy AS maxy",
         )
     )
 
@@ -177,19 +176,19 @@ def build_areas(
         F.explode("members").alias("m"),
     ).filter(F.col("m.type") == "way")
     segs = members.join(
-        ways_located.select(F.col("id").alias("mw_id"), "coords"),
+        ways_located.selectExpr("id AS mw_id", "coords"),
         members["m.ref"] == F.col("mw_id"),
         "inner",
-    ).select(
-        F.concat(F.lit("r"), F.col("rel_id")).alias("area_key"),
-        F.col("m.role").alias("role"),
+    ).selectExpr(
+        "concat('r', rel_id) AS area_key",
+        "m.role AS role",
         "coords",
     )
     rel_geoms = segs.groupBy("area_key").applyInPandas(_assemble_group, _AREA_SCHEMA)
-    rel_areas = mp_rels.select(
-        F.concat(F.lit("r"), F.col("id")).alias("area_key"),
-        F.lit(0).cast("long").alias("way_id"),
-        F.col("id").alias("relation_id"),
+    rel_areas = mp_rels.selectExpr(
+        "concat('r', id) AS area_key",
+        "CAST(0 AS BIGINT) AS way_id",
+        "id AS relation_id",
         "tags",
         "ts",
     ).join(rel_geoms, "area_key", "inner")

@@ -39,10 +39,22 @@ def node_stats(remembered: DataFrame) -> DataFrame:
         "name",
         "category",
     )
+    # A4 needs only (multiset size == 2) AND (>= 2 distinct values), so the
+    # name multiset is reduced to two SCALAR aggregates instead of a
+    # collect_list array per node: n_names = sum of multiplicities,
+    # multi_names = min(name) != max(name). Verified row-identical to the
+    # array formulation via exceptAll both ways at sf1.0, and it is what
+    # the DuckDB j3 oracle computes (count(DISTINCT name)-style null
+    # handling; names are non-null by the name_or_empty contract).
+    # Scale effect: the shuffle carries fixed-width partials instead of
+    # unbounded name arrays, and the aggregate stays a codegen
+    # HashAggregate instead of ObjectHashAggregate (collect_list forces
+    # the object-based path) — guide §2.3 "aggregate before you shuffle".
     return entries.groupBy("node_id").agg(
         F.expr("sum(cf)").alias("count_first"),
         F.expr("sum(cl)").alias("count_last"),
-        F.expr("flatten(collect_list(array_repeat(name, cf + cl)))").alias("names"),
+        F.expr("sum(cf + cl)").alias("n_names"),
+        F.expr("coalesce(min(name) != max(name), false)").alias("multi_names"),
         F.expr("max(CASE WHEN cl = 1 THEN category END)").alias("max_in"),  # A2
         F.expr("max(CASE WHEN cf = 1 THEN category END)").alias("max_out"),
     )
@@ -57,7 +69,7 @@ def error_mask(stats: DataFrame) -> DataFrame:
     # null semantics (A3: waterway.hpp:71-77, A4: :82-88, A5: :102-133);
     # values pinned by the j3_connectivity oracle + worlds parity
     direction = "((abs(count_first - count_last) > 1) AND (count_first = 0 OR count_last = 0))"
-    name_err = "((size(names) = 2) AND (size(array_distinct(names)) > 1))"
+    name_err = "((n_names = 2) AND multi_names)"
     base = f"(CAST({direction} AS INT) * {E.DIRECTION} + CAST({name_err} AS INT) * {E.NAME})"
     both = "((count_last > 0) AND (count_first > 0))"
     type_err = f"({both} AND max_in = 'C' AND max_out < 'C' AND max_out != '?')"

@@ -21,22 +21,24 @@ from pyspark.sql import functions as F
 
 def locate_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """ways(id, node_ids, ...) x nodes(id, lon, lat) -> ways + ``coords``
-    array<struct<lon,lat>> (order-preserving, unlocated refs dropped)."""
+    array<struct<lon,lat>> (order-preserving, unlocated refs dropped).
+    Expression bodies are SQL text (single-parse, identical trees — see
+    cells.py "SQL-text twins")."""
     exploded = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "nid"))
     located = exploded.join(
-        nodes.select(F.col("id").alias("nid"), "lon", "lat"), "nid", "left"
-    ).filter(F.col("lon").isNotNull())
+        nodes.selectExpr("id AS nid", "lon", "lat"), "nid", "left"
+    ).filter(F.expr("lon IS NOT NULL"))
     coords = located.groupBy("way_id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts")
+        F.expr("array_sort(collect_list(struct(pos, lon, lat)))").alias("pts")
     )
     return (
         ways.join(coords, ways["id"] == coords["way_id"], "left")
         .drop("way_id")
         .withColumn(
             "coords",
-            F.coalesce(
-                F.transform("pts", lambda p: F.struct(p["lon"].alias("lon"), p["lat"].alias("lat"))),
-                F.array().cast("array<struct<lon:double,lat:double>>"),
+            F.expr(
+                "coalesce(transform(pts, p -> struct(p.lon AS lon, p.lat AS lat)), "
+                "CAST(array() AS array<struct<lon:double,lat:double>>))"
             ),
         )
         .drop("pts")

@@ -47,16 +47,19 @@ def tile_validation(nodes_out: DataFrame, z: int) -> DataFrame:
     sqlite sink, BASELINE.json:6). Classes: the six error flags, the two
     specifics, and 'normal'."""
     n = assign_node_tiles(nodes_out, z)
-    classes = F.array_compact(
-        F.array(
-            *[F.when(F.col(c) == "true", F.lit(c.removesuffix("_error"))) for c in NODE_ERROR_CLASSES],
-            F.when(F.col("specific") != "", F.col("specific")),
-        )
+    # one SQL-text expression (identical tree to the previous nested
+    # Column build — see cells.py "SQL-text twins")
+    whens = ", ".join(
+        f"CASE WHEN {c} = 'true' THEN '{c.removesuffix('_error')}' END"
+        for c in NODE_ERROR_CLASSES
     )
+    classes = (f"array_compact(array({whens}, "
+               f"CASE WHEN specific != '' THEN specific END))")
     exploded = n.select(
         "tile_id",
-        F.explode(
-            F.when(F.size(classes) > 0, classes).otherwise(F.array(F.lit("normal")))
+        F.expr(
+            f"explode(CASE WHEN size({classes}) > 0 THEN {classes} "
+            f"ELSE array('normal') END)"
         ).alias("error_class"),
     )
     return (
